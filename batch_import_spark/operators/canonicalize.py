@@ -73,7 +73,7 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig_row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:

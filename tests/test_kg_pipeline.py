@@ -1,0 +1,122 @@
+"""End-to-end KG pipeline vs an independent pure-Python oracle.
+
+Oracle = re-implementation of extract→link→canonicalize in plain
+Python over the collected fixture (FIXTURES.md F6 golden-triples
+pattern). The pipeline must hit P/R = 1.0 at fixture scale and be
+deterministic under different partitionings (SURVEY.md §7.3).
+"""
+
+import re
+
+import pytest
+
+from batch_import_spark.pipeline.kg import run_kg_pipeline
+from batch_import_spark.sources.transcripts import (
+    PREDICATE_OF,
+    alias_dict_df,
+    entity_catalog,
+    generate_transcripts,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_data(spark):
+    t = generate_transcripts(spark, n_convs=30, median_turns=8, hot_factor=20)
+    return t.localCheckpoint(eager=True)
+
+
+def _python_oracle_triples(rows):
+    """Independent reference implementation (pure Python)."""
+    phrases = sorted(PREDICATE_OF, key=len, reverse=True)
+    pat = re.compile(
+        r"([A-Z]\w*) (" + "|".join(re.escape(p) for p in phrases) + r") ([A-Z]\w*)\."
+    )
+    # linking dict: surface -> entity ids
+    surf2ents = {}
+    for s, _kind, e in entity_catalog():
+        surf2ents.setdefault(s, set()).add(e)
+    unique = {s: next(iter(es)) for s, es in surf2ents.items() if len(es) == 1}
+
+    # canonicalization: union-find over surfaces sharing an entity
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    ent2surfs = {}
+    for s, e in unique.items():
+        ent2surfs.setdefault(e, []).append(s)
+    for surfs in ent2surfs.values():
+        for s in surfs[1:]:
+            union(surfs[0], s)
+    comp_members = {}
+    for s in unique:
+        comp_members.setdefault(find(s), []).append(s)
+    canon = {}
+    for members in comp_members.values():
+        c = min(members)
+        for s in members:
+            canon[s] = c
+
+    triples = set()
+    skipped = 0
+    for row in rows:
+        for subj, phrase, obj in pat.findall(row["text"]):
+            if subj in unique and obj in unique:
+                triples.add((canon[subj], PREDICATE_OF[phrase], canon[obj]))
+            else:
+                skipped += 1
+    return triples, skipped
+
+
+def test_kg_pipeline_matches_python_oracle(spark, fixture_data, tmp_path):
+    rows = fixture_data.collect()
+    golden, golden_skipped = _python_oracle_triples(rows)
+    assert golden, "fixture must plant extractable triples"
+    assert golden_skipped > 0, "fixture must plant unresolvable surfaces"
+
+    res = run_kg_pipeline(
+        fixture_data,
+        alias_dict_df(spark),
+        nodes_out=str(tmp_path / "nodes"),
+        edges_out=str(tmp_path / "edges"),
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.collect()}
+    # P/R both 1.0 at fixture scale (FIXTURES.md F6)
+    assert got == golden
+    assert res.metrics["n_skipped"] >= golden_skipped  # ambiguous also skipped
+    assert res.metrics["n_linked"] > 0
+    assert res.metrics["n_turns"] == len(rows)
+
+
+def test_kg_pipeline_deterministic_across_partitionings(spark, fixture_data):
+    a = run_kg_pipeline(fixture_data.repartition(2), alias_dict_df(spark))
+    b = run_kg_pipeline(fixture_data.repartition(17), alias_dict_df(spark))
+    ta = {(r["subj"], r["pred"], r["obj"]) for r in a.triples.collect()}
+    tb = {(r["subj"], r["pred"], r["obj"]) for r in b.triples.collect()}
+    assert ta == tb
+
+    na = {(r["node_id"], r["name"], tuple(r["surfaces"])) for r in a.nodes.collect()}
+    nb = {(r["node_id"], r["name"], tuple(r["surfaces"])) for r in b.nodes.collect()}
+    assert na == nb
+
+
+def test_canonicalization_merges_aliases(spark, fixture_data):
+    res = run_kg_pipeline(fixture_data, alias_dict_df(spark))
+    nodes = {r["name"]: r for r in res.nodes.collect()}
+    # Person0 and its alias P0 must be one node (canonical = min = 'P0')
+    assert "P0" in nodes
+    assert "Person0" in nodes["P0"]["surfaces"]
+    # no triple endpoint may be a non-canonical surface
+    subs = {r["subj"] for r in res.triples.collect()} | {
+        r["obj"] for r in res.triples.collect()
+    }
+    assert subs <= set(nodes)
