@@ -1,0 +1,295 @@
+"""Deduplication operators for web-scale corpora.
+
+Five strategies, cheapest-first; all but SimHash are pure column
+expressions (JVM codegen, no Python):
+
+- exact:     hash-groupBy on a normalized fingerprint;
+- minhash:   word-shingle MinHash signatures + LSH banding →
+             candidate pairs → exact Jaccard verification;
+- simhash:   64-bit near-dup bit signature (vectorized pandas UDF —
+             per-bit weighted sums are numpy territory);
+- ngram_jaccard: exact n-gram Jaccard on candidate pairs;
+- embedding near-dup: cosine ≥ τ pairs via bucketed join
+             (similarity.py provides the kernels).
+
+Scale notes: the LSH self-join shuffles on (band_idx, band_hash) — at
+100 TB this is THE shuffle to watch; band count × signature length
+trade recall vs shuffle width. Dedup keeps the min-id doc per group
+(deterministic winner election = the reference's min-id convention,
+FileIterator.java:88-98 made value-level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, fingerprint: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per fingerprint group.
+
+    Uses a groupBy-min semi-join (map-side combinable) rather than a
+    global window — no single-partition stage at scale.
+    """
+    fp = df.withColumn("_fp", fingerprint)
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(winners, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+def duplicate_groups(
+    df: DataFrame, fingerprint: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """(fingerprint, n_dups, keeper_id) for groups with >1 member."""
+    return (
+        df.select(fingerprint.alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# --- shingles / jaccard ------------------------------------------------------
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (expression)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    k = F.length(norm) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: F.substring(norm, i, F.lit(n))
+            ),
+        ).otherwise(F.array(norm))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (expression)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 7) -> Column:
+    """MinHash signature: per hash function, min xxhash64(shingle, i).
+
+    Pure expressions — num_hashes passes over the shingle array per
+    row, all inside codegen.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, num_bands: int = 16) -> Column:
+    """Split a signature into bands → array of (band_idx, band_hash)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_idx"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(
+                            signature,
+                            (b * (F.size(signature) / num_bands).cast("int") + 1).cast("int"),
+                            (F.size(signature) / num_bands).cast("int"),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) pairs with exact Jaccard ≥ threshold.
+
+    Pipeline: shingle → minhash → band → self-join on band bucket →
+    distinct candidate pairs → exact verification. The band join is
+    the only shuffle; candidates are verified with the true shingle
+    sets so results are exact w.r.t. the threshold (LSH affects recall
+    only through banding parameters).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_words).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = base.select(
+        "id", "sh", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band")
+    )
+    left = banded.select(
+        F.col("band"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        left.join(right, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_chars: int = 5,
+    threshold: float = 0.7,
+    block_on: Column | None = None,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over blocked candidate pairs.
+
+    ``block_on`` (default: length bucket) bounds the quadratic join —
+    the scale-path is minhash_near_duplicates; this is the exact
+    verifier for modest blocks.
+    """
+    block = block_on if block_on is not None else (F.length(text_col) / 32).cast("int")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        block.alias("blk"),
+        char_ngrams(text_col, ngram_chars).alias("ng"),
+    )
+    left = base.select(F.col("blk"), F.col("id").alias("id_a"), F.col("ng").alias("ng_a"))
+    right = base.select(F.col("blk"), F.col("id").alias("id_b"), F.col("ng").alias("ng_b"))
+    return (
+        left.join(right, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("ng_a"), F.col("ng_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens (vectorized pandas UDF).
+
+    Per-bit weighted majority over token hashes — genuinely bit-level
+    numpy work, the designated Python-kernel case (Arrow-batched, not
+    per-row).
+    """
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            # deterministic 64-bit token hashes (FNV-1a, pure python int)
+            hs = np.fromiter(
+                (_fnv1a64(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            weights = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(weights > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation: 4×16-bit block keys (pigeonhole: any pair
+    within Hamming ≤ 3 shares at least one exact 16-bit block) — the
+    standard scalable SimHash index; verification via bit_count(xor).
+    """
+    sh = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    )
+    left = blocks.select("blk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = blocks.select("blk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        left.join(right, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,232 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests.
+
+Oracles: small synthetic inputs with hand-computable answers, plus
+numpy recomputation for vector math, plus the driver-provided
+sf0.001 parquet for realistic shapes.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from batch_import_spark.functions.multimodal import (
+    extract_features,
+    sample_video_frames,
+    synthesize_media,
+)
+from batch_import_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from batch_import_spark.operators.dedup import (
+    duplicate_groups,
+    exact_dedup,
+    jaccard,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from batch_import_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_ann_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "The quick  brown fox jumps over the lazy dog"),  # ws/case variant
+            (4, "the quick brown fox jumps over the lazy cat"),  # near dup
+            (5, "completely different text about spark engines"),
+            (6, "completely different text about spark engines here"),  # near of 5
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark)
+    kept = exact_dedup(df, doc_fingerprint("text"))
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1,2,3 collapse (fingerprint normalizes case+ws); keeper = 1
+    assert ids == [1, 4, 5, 6]
+    groups = {r["keeper_id"]: r["n_dups"] for r in duplicate_groups(df, doc_fingerprint("text")).collect()}
+    assert groups == {1: 3}
+
+
+def test_minhash_near_duplicates_finds_planted_pair(spark):
+    pairs = minhash_near_duplicates(
+        _docs(spark), shingle_words=2, num_hashes=32, num_bands=16, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # exact dups always survive
+    assert (1, 4) in got or (2, 4) in got  # planted near-dup
+    assert all(a != 5 or b == 6 for a, b in got)
+
+
+def test_jaccard_expression_matches_python(spark):
+    df = _docs(spark).select(
+        "doc_id", word_shingles("text", 2).alias("sh")
+    )
+    a = df.where(F.col("doc_id") == 1).select(F.col("sh").alias("a"))
+    b = df.where(F.col("doc_id") == 4).select(F.col("sh").alias("b"))
+    got = a.crossJoin(b).select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sa, sb = shingles("the quick brown fox jumps over the lazy dog"), shingles(
+        "the quick brown fox jumps over the lazy cat"
+    )
+    assert got == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+def test_simhash_near_duplicates(spark):
+    pairs = simhash_near_duplicates(_docs(spark), max_hamming=12)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical text → hamming 0
+    assert all({a, b} != {1, 5} and {a, b} != {2, 5} for a, b in got)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), ngram_chars=4, threshold=0.6, block_on=F.lit(0)
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got
+
+
+# --- similarity --------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint(eager=True)
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5)
+    out = {}
+    for r in got.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid in (0, 1, 2):
+        q = vecs[qid]
+        sims = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items()
+        }
+        expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_q = sorted(out[qid])
+        assert [vid for _, vid, _ in got_q] == [vid for vid, _ in expect]
+        for (_, _, c), (_, s) in zip(got_q, expect):
+            assert c == pytest.approx(s, abs=1e-4)
+
+
+def test_lsh_ann_recalls_self(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_ann_topk(emb, queries, dim=64, k=3, num_tables=6, num_planes=8)
+    top1 = {r["query_id"]: r["vec_id"] for r in got.collect() if r["rank"] == 1}
+    # a vector's own bucket always collides → rank-1 must be itself
+    assert top1 == {i: i for i in range(5)}
+
+
+def test_embedding_near_duplicates_planted(spark):
+    base = np.arange(8, dtype=np.float32)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base * 2.0 / np.linalg.norm(base * 2)).tolist()),  # cosine 1.0 with 0
+        (2, np.eye(8, dtype=np.float32)[0].tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_duplicates(df, dim=8, threshold=0.99).collect()}
+    assert got == {(0, 1)}
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, ""), (3, "a b!! c?? d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[3]["n_tokens"] == 4
+    assert rows[3]["punct_ratio"] > 0
+    assert 0.0 <= rows[1]["quality_score"] <= 1.0
+    got = df.select(bpe_ish_token_count("text").alias("n")).collect()
+    assert all(r["n"] >= 0 for r in got)
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "le chat est dans la maison pour le moment"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(spark):
+    media = synthesize_media(spark, n=12)
+    f1 = {r["media_id"]: (r["sha256"], tuple(r["feature"])) for r in extract_features(media).collect()}
+    f2 = {r["media_id"]: (r["sha256"], tuple(r["feature"])) for r in extract_features(media.repartition(5)).collect()}
+    assert f1 == f2
+    assert all(len(v[1]) == 16 for v in f1.values())
+
+
+def test_multimodal_strict_raises(spark):
+    media = synthesize_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_features(media, strict=True).collect()
+
+
+def test_video_frame_sampling_plan(spark):
+    media = synthesize_media(spark, n=9)
+    frames = sample_video_frames(media, every_ms=400)
+    rows = frames.collect()
+    assert all(r["frame_ts_ms"] % 400 == 0 for r in rows)
+    # video items have duration ≥ 1000ms → at least 3 sampled frames each
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["media_id"], 0)
+        per_id[r["media_id"]] += 1
+    assert all(n >= 3 for n in per_id.values())
