@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG query; ``queries`` exposes one entry
+per implemented operator family (SURVEY.md §2 + training-data ops);
+``oracle_sql`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names/aliases both sides).
+
+Numeric convention: aggregated doubles are leaf-cast to
+DECIMAL(18,4)/(18,2) in BOTH engines so arithmetic is exact and
+value-hashes match bit-for-bit; cosine similarities are computed in
+float64 on both sides and rounded.
 """
 
 from __future__ import annotations
@@ -12,27 +16,653 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- flagship ---------------------------------------------------------------
+
+
+def _planted_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a transcripts table from documents.parquet with planted
+    entity sentences (alias surfaces on odd doc_ids so the
+    canonicalization merge is exercised)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("Person"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(" uses Tool"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(". "),
+            F.col("text"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("P"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(" works at O"),
+            (F.col("doc_id") % 12).cast("string"),
+            F.lit(". "),
+            F.col("text"),
+        )
+    )
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        planted.alias("text"),
+    )
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract → link → canonicalize over planted transcripts; the
+    flagship end-to-end query (oracle-checkable: planted sentences
+    have a closed-form canonical triple set)."""
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts(spark, sf_dir)
+    res = run_kg_pipeline(t, alias_dict_df(spark))
+    return res.edges.select(
+        "subj", "pred", "obj", F.col("n_occurrences").cast("long").alias("n")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _kg_triples(spark, "/root/testdata/sf0.001")
+
+
+# --- SQL-expressible operator queries ---------------------------------------
+
+
+def _q1_pricing_summary(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(d4("l_quantity")), 2).cast("decimal(18,2)").alias("sum_qty"),
+            F.round(F.sum(d4("l_extendedprice")), 2).cast("decimal(18,2)").alias("sum_base_price"),
+            F.round(
+                F.sum(d4("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d4("l_discount"))), 2
+            )
+            .cast("decimal(18,2)")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_revenue_topk(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    d4 = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(d4("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d4("l_discount"))), 2
+            )
+            .cast("decimal(18,2)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def _j1_index_lookup(spark, sf):
+    """Broadcast dict left-join + skip counting (J1/P7 semantics)."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    dict_df = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_acctbal") > 500)
+        .select("c_custkey")
+    )
+    joined = o.join(F.broadcast(dict_df), o.o_custkey == dict_df.c_custkey, "left")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count("c_custkey").alias("n_resolved"),
+        (F.count(F.lit(1)) - F.count("c_custkey")).alias("n_skipped"),
+    )
+
+
+_J1_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_input,
+       COUNT(d.c_custkey) AS n_resolved,
+       COUNT(*) - COUNT(d.c_custkey) AS n_skipped
+FROM orders LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 500) d
+  ON o_custkey = d.c_custkey
+GROUP BY o_orderpriority
+"""
+
+
+def _j1_unique_key_rule(spark, sf):
+    """getSingle semantics: only keys with exactly one id resolve."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    uniq = (
+        c.groupBy("c_nationkey")
+        .agg(F.count_distinct("c_custkey").alias("n"), F.min("c_custkey").alias("c_custkey"))
+        .where(F.col("n") == 1)
+        .drop("n")
+    )
+    return (
+        s.join(F.broadcast(uniq), s.s_nationkey == uniq.c_nationkey, "left")
+        .select("s_suppkey", "c_custkey")
+    )
+
+
+_J1U_SQL = """
+SELECT s_suppkey, d.c_custkey
+FROM supplier LEFT JOIN (
+  SELECT c_nationkey, MIN(c_custkey) AS c_custkey
+  FROM customer GROUP BY c_nationkey HAVING COUNT(DISTINCT c_custkey) = 1
+) d ON s_nationkey = d.c_nationkey
+"""
+
+
+def _o2_edge_normalize(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.least("l_partkey", "l_suppkey").alias("edge_min"),
+            F.greatest("l_partkey", "l_suppkey").alias("edge_max"),
+        )
+    )
+
+
+_O2_SQL = """
+SELECT l_orderkey, l_linenumber,
+       LEAST(l_partkey, l_suppkey) AS edge_min,
+       GREATEST(l_partkey, l_suppkey) AS edge_max
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def _a2_dense_ids(spark, sf):
+    from batch_import_spark.operators.ids import with_dense_id
+
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return with_dense_id(n, ["n_nationkey"], id_col="node_id").select(
+        "node_id", "n_name"
+    )
+
+
+_A2_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS node_id, n_name FROM nation
+"""
+
+
+def _a4_index_explode(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    name_e = c.select(
+        F.lit("customers").alias("index_name"),
+        F.lit("c_name").alias("key_prop"),
+        F.col("c_name").alias("key_value"),
+        F.col("c_custkey").alias("node_id"),
+    )
+    seg_e = c.select(
+        F.lit("customers").alias("index_name"),
+        F.lit("c_mktsegment").alias("key_prop"),
+        F.col("c_mktsegment").alias("key_value"),
+        F.col("c_custkey").alias("node_id"),
+    )
+    return name_e.unionByName(seg_e)
+
+
+_A4_SQL = """
+SELECT 'customers' AS index_name, 'c_name' AS key_prop, c_name AS key_value, c_custkey AS node_id FROM customer
+UNION ALL
+SELECT 'customers', 'c_mktsegment', c_mktsegment, c_custkey FROM customer
+"""
+
+
+def _p1_typed_cast(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.where(F.col("l_orderkey") < 50).select(
+        F.col("l_orderkey").cast("string").alias("order_str"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        F.col("l_linenumber").cast("long").alias("line_long"),
+    )
+
+
+_P1_SQL = """
+SELECT CAST(l_orderkey AS VARCHAR) AS order_str,
+       CAST(l_quantity AS INTEGER) AS qty_int,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+       l_returnflag = 'R' AS returned,
+       CAST(l_linenumber AS BIGINT) AS line_long
+FROM lineitem WHERE l_orderkey < 50
+"""
+
+
+def _p2_null_projection(spark, sf):
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.nullif(F.col("source"), F.lit("src3"))).alias("n_not_src3"),
+    )
+
+
+_P2_SQL = """
+SELECT lang, COUNT(*) AS n_docs, COUNT(NULLIF(source, 'src3')) AS n_not_src3
+FROM documents GROUP BY lang
+"""
+
+
+def _p4_label_split(spark, sf):
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    return (
+        p.select(F.explode(F.split(F.col("p_type"), " ")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_P4_SQL = """
+SELECT label, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(p_type, ' ')) AS label FROM part)
+GROUP BY label
+"""
+
+
+def _g1_counts(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_value"),
+    )
+
+
+_G1_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def _w1_window_running(spark, sf):
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf}/events.parquet").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(18,2)")
+        .alias("running_value"),
+        F.lag(F.col("value").cast("decimal(18,4)"), 1)
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("prev_value"),
+    )
+
+
+_W1_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value,
+       CAST(LAG(CAST(value AS DECIMAL(18,4)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,2)) AS prev_value
+FROM events WHERE user_id < 20
+"""
+
+
+def _topk_per_group(spark, sf):
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rnk",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _set_ops(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 1000).select("c_custkey")
+    both = building.intersect(rich).withColumn("tag", F.lit("both"))
+    only_b = building.exceptAll(rich).withColumn("tag", F.lit("building_only"))
+    return both.unionByName(only_b)
+
+
+_SET_SQL = """
+SELECT c_custkey, 'both' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+UNION ALL
+SELECT c_custkey, 'building_only' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+"""
+
+
+def _rollup_counts(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _cc_components(spark, sf):
+    """Connected components over the nation–region star graph."""
+    from batch_import_spark.operators.canonicalize import connected_components
+
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    edges = n.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("u"),
+        F.col("n_regionkey").cast("long").alias("v"),
+    )
+    return connected_components(edges).select("node_id", "component_id")
+
+
+_CC_SQL = """
+SELECT CAST(n_nationkey + 100 AS BIGINT) AS node_id, CAST(n_regionkey AS BIGINT) AS component_id FROM nation
+UNION
+SELECT DISTINCT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM nation
+"""
+
+
+def _dedup_exact(spark, sf):
+    from batch_import_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = F.md5(F.substring(F.col("text"), 1, 20))
+    return exact_dedup(d, fp).select("doc_id")
+
+
+_DEDUP_SQL = """
+SELECT doc_id FROM documents d
+WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2
+                WHERE md5(substr(d2.text, 1, 20)) = md5(substr(d.text, 1, 20)))
+"""
+
+
+def _dedup_groups(spark, sf):
+    from batch_import_spark.operators.dedup import duplicate_groups
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = F.md5(F.substring(F.col("text"), 1, 12))
+    return duplicate_groups(d, fp).select("fp", "n_dups", "keeper_id")
+
+
+_DEDUPG_SQL = """
+SELECT md5(substr(text, 1, 12)) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def _ann_cosine_topk(spark, sf):
+    from batch_import_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, q, k=5).select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine"), 4).alias("cos4")
+    )
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <= 5
+"""
+
+
+def _text_quality(spark, sf):
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col("text")).alias("n_chars_m"),
+    )
+
+
+_TEXTQ_SQL = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_m
+FROM documents
+"""
+
+
+def _text_fingerprint(spark, sf):
+    from batch_import_spark.functions.text import doc_fingerprint
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+_FP_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def _extract_regex(spark, sf):
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"batch (\w+)"), F.lit(1))
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EXTRACT_SQL = """
+SELECT tok, COUNT(*) AS n
+FROM (SELECT UNNEST(regexp_extract_all(text, 'batch (\\w+)', 1)) AS tok FROM documents)
+GROUP BY tok
+"""
+
+
+def _kg_extract_canonicalize(spark, sf):
+    return _kg_triples(spark, sf)
+
+
+_KG_SQL = """
+SELECT subj, pred, obj, COUNT(*) AS n FROM (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'P' || CAST(doc_id % 40 AS VARCHAR)
+              ELSE 'P' || CAST(doc_id % 40 AS VARCHAR) END AS subj,
+         CASE WHEN doc_id % 2 = 0 THEN 'uses' ELSE 'works_at' END AS pred,
+         CASE WHEN doc_id % 2 = 0 THEN 'Tool' || CAST(doc_id % 8 AS VARCHAR)
+              ELSE 'O' || CAST(doc_id % 12 AS VARCHAR) END AS obj
+  FROM documents
+) GROUP BY subj, pred, obj
+"""
+
+
+# --- non-SQL-expressible (rows-only checks) ----------------------------------
+
+
+def _kg_pipeline_full(spark, sf):
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df, generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=60, median_turns=8, hot_factor=10)
+    return run_kg_pipeline(t, alias_dict_df(spark)).triples
+
+
+def _minhash_near_dups(spark, sf):
+    from batch_import_spark.operators.dedup import minhash_near_duplicates
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_near_duplicates(d, num_hashes=32, num_bands=8, threshold=0.5)
+
+
+def _simhash_near_dups(spark, sf):
+    from batch_import_spark.operators.dedup import simhash_near_duplicates
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_near_duplicates(d, max_hamming=6)
+
+
+def _lang_id(spark, sf):
+    from batch_import_spark.functions.text import language_id
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+def _lsh_ann(spark, sf):
+    from batch_import_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, q, dim=64, k=5, num_tables=6, num_planes=8)
+
+
+def _multimodal_features(spark, sf):
+    from batch_import_spark.functions.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, n=48))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference operator families (SURVEY.md §2)
+        "p1_typed_cast": _p1_typed_cast,
+        "p2_null_projection": _p2_null_projection,
+        "p4_label_split": _p4_label_split,
+        "j1_index_lookup": _j1_index_lookup,
+        "j1_unique_key_rule": _j1_unique_key_rule,
+        "o2_edge_normalize": _o2_edge_normalize,
+        "a2_dense_ids": _a2_dense_ids,
+        "a4_index_explode": _a4_index_explode,
+        "g1_counts": _g1_counts,
+        "cc_components": _cc_components,
+        # engine capability (aggregations/windows/sets/rollup/topk)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_revenue_topk": _q3_revenue_topk,
+        "w1_window_running": _w1_window_running,
+        "topk_per_group": _topk_per_group,
+        "set_ops": _set_ops,
+        "rollup_counts": _rollup_counts,
+        # training-data ops
+        "dedup_exact": _dedup_exact,
+        "dedup_groups": _dedup_groups,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "extract_regex": _extract_regex,
+        # flagship KG (oracle-checkable via planted sentences)
+        "kg_extract_canonicalize": _kg_extract_canonicalize,
+        # rows-only (no SQL equivalent)
+        "kg_pipeline_full": _kg_pipeline_full,
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_near_dups": _simhash_near_dups,
+        "lang_id": _lang_id,
+        "lsh_ann_topk": _lsh_ann,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "p1_typed_cast": _P1_SQL,
+        "p2_null_projection": _P2_SQL,
+        "p4_label_split": _P4_SQL,
+        "j1_index_lookup": _J1_SQL,
+        "j1_unique_key_rule": _J1U_SQL,
+        "o2_edge_normalize": _O2_SQL,
+        "a2_dense_ids": _A2_SQL,
+        "a4_index_explode": _A4_SQL,
+        "g1_counts": _G1_SQL,
+        "cc_components": _CC_SQL,
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_revenue_topk": _Q3_SQL,
+        "w1_window_running": _W1_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "set_ops": _SET_SQL,
+        "rollup_counts": _ROLLUP_SQL,
+        "dedup_exact": _DEDUP_SQL,
+        "dedup_groups": _DEDUPG_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "text_quality": _TEXTQ_SQL,
+        "text_fingerprint": _FP_SQL,
+        "extract_regex": _EXTRACT_SQL,
+        "kg_extract_canonicalize": _KG_SQL,
+    }
