@@ -64,23 +64,64 @@ def connected_components(
     Convergence: edge multiset fingerprint (count + hash-sum) stable
     across a large+small round.
     """
+    spark = edges.sparkSession
+    sc0 = spark.sparkContext
+    ids_before_input = set(sc0._jsc.getPersistentRDDs().keySet().toArray())
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col(src) != F.col(dst)
     ).distinct()
     e = e.localCheckpoint(eager=True)
-    prev_sig = None
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig_row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iterations} iterations")
+    input_ckpt_ids = (
+        set(sc0._jsc.getPersistentRDDs().keySet().toArray()) - ids_before_input
+    )
+
+    # size the iteration's shuffles to the graph, not the session: a
+    # tiny equivalence graph (e.g. an alias dictionary) converges in a
+    # couple of 1-partition rounds; a billion-edge graph keeps the
+    # session's width. ~1M edges per partition.
+    n_edges = e.count()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(1, min(int(saved), n_edges // 1_000_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    sc = spark.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _unpersist(ids: set[int]) -> None:
+        # free a superseded checkpoint's blocks — long CC loops (and
+        # long sessions running many CCs) otherwise accumulate
+        # MEMORY_AND_DISK blocks until GC pressure shows up as noise
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+
+    try:
+        prev_sig = None
+        prev_ckpt_ids: set[int] = input_ckpt_ids
+        for _ in range(max_iterations):
+            before = _persistent_ids()
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            new_ids = _persistent_ids() - before
+            sig_row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            # the new checkpoint is materialized → the previous one is
+            # no longer referenced by anything downstream
+            _unpersist(prev_ckpt_ids)
+            prev_ckpt_ids = new_ids
+            sig = (sig_row["n"], sig_row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iterations} iterations"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
     # converged: every edge is (node, component-min); roots map to themselves
     members = e.select(F.col("u").alias("node_id"), F.col("v").alias("component_id"))
@@ -90,13 +131,30 @@ def connected_components(
     return members.union(roots).distinct()
 
 
-def canonical_mapping(nodes_with_keys: DataFrame, node_col: str, key_col: str) -> DataFrame:
+DRIVER_CC_THRESHOLD = 2_000_000  # pairs that comfortably union-find in driver memory
+
+
+def canonical_mapping(
+    nodes_with_keys: DataFrame,
+    node_col: str,
+    key_col: str,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
+) -> DataFrame:
     """CC over 'same key ⇒ same canonical node' equivalence.
 
-    Builds star edges node↔min-node-per-key (not all pairs — linear,
-    not quadratic, in group size) and returns
-    (node, canonical) covering every input node.
+    Small inputs (e.g. an alias dictionary — vocabulary-bounded, not
+    corpus-bounded) take a DRIVER-SIDE union-find: the CC analog of a
+    broadcast join, skipping ~6 s of iterative-shuffle latency. Large
+    inputs run distributed large-star/small-star. Both elect the min
+    node id per component — identical, deterministic results.
     """
+    pairs_df = nodes_with_keys.select(
+        F.col(node_col).alias("node_id"), F.col(key_col).alias("k")
+    ).distinct()
+    n_pairs = pairs_df.count()
+    if n_pairs <= driver_threshold:
+        return _driver_union_find(pairs_df)
+
     mins = nodes_with_keys.groupBy(key_col).agg(F.min(node_col).alias("_min_node"))
     star = (
         nodes_with_keys.join(mins, key_col)
@@ -112,4 +170,42 @@ def canonical_mapping(nodes_with_keys: DataFrame, node_col: str, key_col: str) -
             "node_id",
             F.coalesce("component_id", "node_id").alias("canonical_id"),
         )
+    )
+
+
+def _driver_union_find(pairs_df: DataFrame) -> DataFrame:
+    """Union-find over collected (node_id, key) pairs; min-id election."""
+    rows = pairs_df.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    first_by_key: dict = {}
+    nodes = set()
+    for r in rows:
+        node, key = r["node_id"], r["k"]
+        nodes.add(node)
+        if key in first_by_key:
+            union(first_by_key[key], node)
+        else:
+            first_by_key[key] = node
+    comp_min: dict = {}
+    for n in nodes:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    out = [(n, comp_min[find(n)]) for n in sorted(nodes)]
+    return pairs_df.sparkSession.createDataFrame(
+        out, "node_id long, canonical_id long"
     )

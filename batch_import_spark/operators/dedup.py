@@ -157,10 +157,24 @@ def minhash_near_duplicates(
     sets so results are exact w.r.t. the threshold (LSH affects recall
     only through banding parameters).
     """
-    base = df.select(
+    # explode + groupBy-min formulation: one flat codegen stage with
+    # map-side partial mins, instead of num_hashes nested array lambdas
+    # in a single expression (whose generated method can blow past JIT
+    # limits and fall back to interpretation — observed 5-60s swings)
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_words).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
+    )
+    sigs = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(7 + i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+        F.collect_set("shingle").alias("sh"),
+    )
+    base = sigs.select(
+        "id", "sh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
     banded = base.select(
         "id", "sh", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band")
     )

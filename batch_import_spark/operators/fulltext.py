@@ -1,0 +1,78 @@
+"""Fulltext-index analog (reference A8, Importer.java:28,206-210).
+
+The reference's Lucene *fulltext* indexes tokenize the indexed value
+and match per-token. The Spark analog (SURVEY.md §7.3): a tokenized
+candidate-generation dictionary — explode the indexed property into
+(token → node) postings, look up by joining query tokens against the
+postings, score candidates by matched-token count, rank.
+
+Exact-match semantics (the reference default) stay in
+operators/linking.py; this module is the candidate-generation path
+for fuzzy entity linking. Spatial indexes are out of scope
+(documented divergence; no Spark builtin and unused in the reference's
+own samples/tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOKENIZE_RE = r"[^\w]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lucene-StandardAnalyzer-ish tokenization: lowercase, split on
+    non-word runs, drop empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKENIZE_RE), lambda t: t != "")
+
+
+def build_fulltext_postings(
+    index_entries: DataFrame, key_col: str = "key_value", id_col: str = "node_id"
+) -> DataFrame:
+    """index entries → (index_name, key_prop, token, node_id) postings."""
+    return index_entries.select(
+        "index_name",
+        "key_prop",
+        F.explode(tokenize(key_col)).alias("token"),
+        F.col(id_col),
+    ).distinct()
+
+
+def fulltext_lookup(
+    queries: DataFrame,
+    postings: DataFrame,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Score candidates by matched-token count; rank per query.
+
+    (query_id, node_id, n_matched, n_query_tokens, score, rank) —
+    score = matched / query token count. The postings join shuffles on
+    token; at scale, stopword-heavy tokens are the skew keys (AQE
+    skew-join splits them; a min-df/max-df filter on postings is the
+    knob, as in Lucene).
+    """
+    q_tokens = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(tokenize(query_col)).alias("n_query_tokens"),
+        F.explode(tokenize(query_col)).alias("token"),
+    )
+    matched = (
+        q_tokens.join(postings, "token")
+        .groupBy("query_id", "n_query_tokens", "node_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .withColumn(
+            "score",
+            F.round(F.col("n_matched") / F.col("n_query_tokens"), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("node_id").asc()
+    )
+    return matched.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )

@@ -33,8 +33,9 @@ from pyspark.sql import functions as F
 
 from batch_import_spark.pipeline.extract import extract_mentions
 from batch_import_spark.pipeline.kg import (
-    canonicalize_surfaces,
-    link_mentions,
+    link_and_canonicalize,
+    nodes_from_dict,
+    prepare_link_dict,
     salted_repartition,
 )
 
@@ -121,25 +122,8 @@ class KgCheckpointer:
         mentions = extract_mentions(
             t.select("conv_id", "turn_idx", "text")
         ).withColumn("bucket", _bucket("conv_id", self.n_buckets))
-        linked, _obs = link_mentions(mentions, alias_dict)
-
-        canon = canonicalize_surfaces(alias_dict)
-        canon_b = F.broadcast(canon.select("surface", "canonical_surface", "canonical_node_id"))
-        resolved = linked.join(
-            canon_b.select(
-                F.col("surface").alias("subj_surface"),
-                F.col("canonical_surface").alias("subj"),
-                F.col("canonical_node_id").alias("subj_id"),
-            ),
-            "subj_surface",
-        ).join(
-            canon_b.select(
-                F.col("surface").alias("obj_surface"),
-                F.col("canonical_surface").alias("obj"),
-                F.col("canonical_node_id").alias("obj_id"),
-            ),
-            "obj_surface",
-        )
+        link_dict = prepare_link_dict(alias_dict)
+        resolved, _obs = link_and_canonicalize(mentions, link_dict)
 
         edges = resolved.groupBy(
             "bucket", "subj_id", "subj", "pred", "obj_id", "obj"
@@ -150,19 +134,14 @@ class KgCheckpointer:
         edges.write.mode("overwrite").partitionBy("bucket").parquet(self.edges_dir)
 
         # nodes derive from the dictionary alone — bucket-independent
-        nodes = canon.groupBy(F.col("canonical_node_id").alias("node_id")).agg(
-            F.min("canonical_surface").alias("name"),
-            F.sort_array(F.collect_set("surface")).alias("surfaces"),
-            F.min("entity_id").alias("entity_id"),
-        )
-        nodes.write.mode("overwrite").parquet(self.nodes_dir)
+        nodes_from_dict(link_dict).write.mode("overwrite").parquet(self.nodes_dir)
 
         # lineage counters per bucket (exact aggregates, not observers —
         # observers double-count under resampling plans; see verify skill)
         mention_counts = mentions.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("n_mentions")
         )
-        linked_counts = linked.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_linked"))
+        linked_counts = resolved.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_linked"))
         triple_counts = (
             self.spark.read.parquet(self.edges_dir)
             .where(F.col("bucket").isin([int(b) for b in pending]))

@@ -36,6 +36,10 @@ MENTION_SCHEMA = (
 # Surfaces are single tokens (\w+); phrases come from the dictionary.
 _PHRASE_ALT = "|".join(re.escape(p) for p in sorted(RELATION_PHRASES, key=len, reverse=True))
 MENTION_RE = re.compile(rf"(?P<subj>[A-Z]\w*) (?P<phrase>{_PHRASE_ALT}) (?P<obj>[A-Z]\w*)\.")
+# Java-regex twin (no named groups, no escaped spaces) for the
+# JVM-expression extraction path — same matches by construction
+_PHRASE_ALT_JAVA = "|".join(sorted(RELATION_PHRASES, key=len, reverse=True))
+MENTION_PATTERN_JAVA = rf"([A-Z]\w*) ({_PHRASE_ALT_JAVA}) ([A-Z]\w*)\."
 
 
 def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -67,4 +71,35 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         run, schema=MENTION_SCHEMA
+    )
+
+
+def extract_mentions_expr(transcripts: DataFrame) -> DataFrame:
+    """JVM-expression twin of ``extract_mentions`` — identical output.
+
+    regexp_extract_all + explode keeps the whole stage inside
+    whole-stage codegen: no Python workers, no Arrow hop. Used where
+    the extraction grammar is regex-expressible (it is, here); the
+    pandas kernel remains the general path for kernels that need real
+    Python (models, tokenizers). Both are tested equal.
+    """
+    from pyspark.sql import functions as F
+
+    pat = MENTION_PATTERN_JAVA
+    phrase_to_pred = F.create_map(
+        *[F.lit(x) for kv in PREDICATE_OF.items() for x in kv]
+    )
+    m = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).alias("m"),
+    )
+    return m.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_extract("m", pat, 1).alias("subj_surface"),
+        phrase_to_pred[F.regexp_extract("m", pat, 2)].alias("pred"),
+        F.regexp_extract("m", pat, 3).alias("obj_surface"),
     )

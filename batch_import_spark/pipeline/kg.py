@@ -5,34 +5,36 @@ The Spark-native replacement for the reference's import pipeline
 streams CSV rows into Neo4j store files single-threaded, we run
 
     transcripts ──salted repartition──▶ extract (pandas/Arrow UDF)
-        ──broadcast join alias dict──▶ linked mentions (+skip counts)
-        ──CC over surface-equivalence─▶ canonical node ids
-        ──write──▶ nodes / edges tables (Parquet dir or Iceberg)
+        ──broadcast link-dict join──▶ linked + canonicalized mentions
+        ──triple-grain agg──▶ edges; dictionary → nodes
 
 Phase barriers mirror the reference (all nodes before rels,
-Importer.java:227-233): the canonical mapping is materialized before
-the edge join.
+Importer.java:227-233): the link dictionary (unique-key filter +
+canonical-surface election) is materialized before the mention join.
 
 Scale design (100 TB / 1000 executors):
 - hot-conversation skew is defused BEFORE the Python-kernel stage by a
   deterministic salted repartition on (conv_id, turn_idx) — no rand(),
   reproducible at any parallelism;
-- the alias dictionary joins broadcast (J1/J2); if it outgrows the
-  threshold AQE falls back to shuffle hash join, and
-  spark.sql.adaptive.skewJoin splits hot keys;
-- canonicalization cost is bounded by the alias dict size (surfaces),
-  NOT the transcript corpus — CC runs on the dictionary's equivalence
-  graph, then broadcast-maps onto mention endpoints;
+- the link dictionary is vocabulary-bounded, not corpus-bounded: when
+  it fits the driver (≤ ~2M entries) its unique-key filter AND
+  connected-components canonicalization run driver-side (union-find) —
+  the CC analog of a broadcast join, saving ~10 s of iterative-shuffle
+  latency per run; past the threshold both fall back to the
+  distributed groupBy/CC path with identical min-election semantics;
+- one broadcast join per mention endpoint resolves surface →
+  (canonical surface, canonical node id) in a single lookup — linking
+  and canonicalization fused;
 - edges are deduplicated to the (subj, pred, obj) triple grain with an
-  occurrence count, so output size is vocabulary-bounded; provenance
-  stays available pre-dedup.
+  occurrence count (map-side partial agg), so output size is
+  vocabulary-bounded; provenance stays available pre-dedup.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from batch_import_spark.operators.canonicalize import canonical_mapping
@@ -40,16 +42,20 @@ from batch_import_spark.operators.ids import stable_id
 from batch_import_spark.operators.linking import build_unique_alias_dict
 from batch_import_spark.pipeline.extract import extract_mentions
 
+DICT_DRIVER_THRESHOLD = 2_000_000
+
 
 @dataclass
 class KgResult:
-    nodes: DataFrame  # node_id, surfaces array<string>, kind, entity_id
-    edges: DataFrame  # subj_id, pred, obj_id, n_occurrences, first/last provenance
-    triples: DataFrame  # (subj, pred, obj) as canonical SURFACE strings (P/R surface)
+    nodes: DataFrame  # node_id, name, surfaces array<string>, entity_id
+    edges: DataFrame  # subj_id, subj, pred, obj_id, obj, n_occurrences, provenance
+    triples: DataFrame  # (subj, pred, obj) canonical surface strings (P/R surface)
     metrics: dict = field(default_factory=dict)
 
 
-def salted_repartition(df: DataFrame, num_partitions: int, *keys: str, salt_buckets: int = 64) -> DataFrame:
+def salted_repartition(
+    df: DataFrame, num_partitions: int, *keys: str, salt_buckets: int = 64
+) -> DataFrame:
     """Deterministic skew-defusing repartition.
 
     Salt = xxhash64 of ALL key columns (e.g. conv_id + turn_idx), so a
@@ -60,55 +66,75 @@ def salted_repartition(df: DataFrame, num_partitions: int, *keys: str, salt_buck
     return df.repartition(num_partitions, salt)
 
 
-def link_mentions(
-    mentions: DataFrame, alias_dict: DataFrame
-) -> tuple[DataFrame, Observation]:
-    """Resolve mention surfaces through the unique-key alias dict.
+def prepare_link_dict(
+    alias_dict: DataFrame, driver_threshold: int = DICT_DRIVER_THRESHOLD
+) -> DataFrame:
+    """alias table → link dictionary
+    (surface, entity_id, canonical_surface, canonical_node_id).
 
-    Reference J1 semantics: ambiguous surface (getSingle≠1) and unknown
-    surface both fail resolution; a mention with ANY unresolved side is
-    skipped and counted (P7).
+    Reference semantics preserved: an ambiguous surface (getSingle≠1,
+    LongIterableIndexHits.java:36-38) is EXCLUDED — it neither links
+    nor merges entities. Canonical surface = lexicographic min over
+    the component of surfaces connected by shared entity ids; node id
+    = xxhash64 of that surface (order-free, deterministic).
     """
-    uniq = build_unique_alias_dict(
-        alias_dict, key_col="key_value", id_col="entity_id", extra_cols=["kind"]
-    ).select("key_value", "entity_id")
+    spark = alias_dict.sparkSession
+    raw = alias_dict.select(
+        F.col("key_value").alias("surface"), F.col("entity_id")
+    ).distinct()
 
-    subj_d = F.broadcast(uniq.select(F.col("key_value").alias("subj_surface"),
-                                     F.col("entity_id").alias("subj_entity")))
-    obj_d = F.broadcast(uniq.select(F.col("key_value").alias("obj_surface"),
-                                    F.col("entity_id").alias("obj_entity")))
-    joined = mentions.join(subj_d, "subj_surface", "left").join(obj_d, "obj_surface", "left")
+    # one job decides the path AND fetches the data: take(T+1) either
+    # proves the dict exceeds the driver threshold or returns it whole
+    rows = raw.take(driver_threshold + 1)
+    if len(rows) <= driver_threshold:
+        ents: dict = {}
+        for r in rows:
+            ents.setdefault(r["surface"], set()).add(r["entity_id"])
+        unique = {s: next(iter(es)) for s, es in ents.items() if len(es) == 1}
 
-    obs = Observation("linking")
-    observed = joined.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_mentions"),
-        F.sum((F.col("subj_entity").isNotNull() & F.col("obj_entity").isNotNull()).cast("long")).alias("n_linked"),
-        F.sum((F.col("subj_entity").isNull() | F.col("obj_entity").isNull()).cast("long")).alias("n_skipped"),
-    )
-    linked = observed.where(F.col("subj_entity").isNotNull() & F.col("obj_entity").isNotNull())
-    return linked, obs
+        parent: dict = {}
 
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
 
-def canonicalize_surfaces(alias_dict: DataFrame) -> DataFrame:
-    """(surface → canonical surface + canonical node id) via CC.
+        first_by_ent: dict = {}
+        for s, e in unique.items():
+            if e in first_by_ent:
+                ra, rb = find(first_by_ent[e]), find(s)
+                if ra != rb:
+                    parent[rb] = ra
+            else:
+                first_by_ent[e] = s
+        comp_members: dict = {}
+        for s in unique:
+            comp_members.setdefault(find(s), []).append(s)
+        canon = {}
+        for members in comp_members.values():
+            c = min(members)
+            for s in members:
+                canon[s] = c
+        out = [(s, unique[s], canon[s]) for s in sorted(unique)]
+        df = spark.createDataFrame(
+            out, "surface string, entity_id long, canonical_surface string"
+        )
+        return df.withColumn(
+            "canonical_node_id", stable_id(F.col("canonical_surface"))
+        )
 
-    Equivalence: two surfaces naming the same entity_id merge.
-    Ambiguous surfaces (>1 entity) are EXCLUDED from equivalence edges
-    (reference getSingle semantics) — they never link, so they never
-    merge entities either. Canonical surface = lexicographic min in the
-    component (order-free, deterministic); canonical node id = stable
-    hash of that surface.
-    """
+    # distributed path: unique-key filter + CC, same semantics
     uniq = build_unique_alias_dict(alias_dict, key_col="key_value", id_col="entity_id")
     pairs = uniq.select(
         F.col("key_value").alias("surface"),
         F.col("entity_id"),
         stable_id(F.col("key_value")).alias("surface_id"),
     )
-    cc = canonical_mapping(pairs, node_col="surface_id", key_col="entity_id")
-    # map component ids back to a canonical *surface* (min surface string
-    # in the component) for a human-stable identity
+    cc = canonical_mapping(pairs, node_col="surface_id", key_col="entity_id",
+                           driver_threshold=0)
     with_comp = pairs.join(cc, pairs.surface_id == cc.node_id).select(
         "surface", "entity_id", "canonical_id"
     )
@@ -120,9 +146,70 @@ def canonicalize_surfaces(alias_dict: DataFrame) -> DataFrame:
         .select(
             "surface",
             "entity_id",
-            F.col("canonical_surface"),
+            "canonical_surface",
             stable_id(F.col("canonical_surface")).alias("canonical_node_id"),
         )
+    )
+
+
+# backwards-compatible name (the dictionary IS the canonicalization)
+canonicalize_surfaces = prepare_link_dict
+
+
+def link_and_canonicalize(
+    mentions: DataFrame, link_dict: DataFrame
+) -> tuple[DataFrame, Observation]:
+    """Resolve both mention endpoints through the broadcast dictionary.
+
+    One broadcast left-join per endpoint yields (canonical surface,
+    canonical node id) directly; unresolved/ambiguous mentions are
+    dropped AND counted (P7: Importer.java:149-152).
+    """
+    d = F.broadcast(
+        link_dict.select("surface", "canonical_surface", "canonical_node_id")
+    )
+    subj_d = d.select(
+        F.col("surface").alias("subj_surface"),
+        F.col("canonical_surface").alias("subj"),
+        F.col("canonical_node_id").alias("subj_id"),
+    )
+    obj_d = d.select(
+        F.col("surface").alias("obj_surface"),
+        F.col("canonical_surface").alias("obj"),
+        F.col("canonical_node_id").alias("obj_id"),
+    )
+    joined = mentions.join(subj_d, "subj_surface", "left").join(
+        obj_d, "obj_surface", "left"
+    )
+    if joined.isStreaming:
+        # Observation doesn't support streams — per-microbatch metrics
+        # come from StreamingQueryProgress instead
+        resolved = joined.where(
+            F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+        )
+        return resolved, None
+    obs = Observation()
+    observed = joined.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum((F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()).cast("long")).alias(
+            "n_linked"
+        ),
+        F.sum((F.col("subj_id").isNull() | F.col("obj_id").isNull()).cast("long")).alias(
+            "n_skipped"
+        ),
+    )
+    resolved = observed.where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    )
+    return resolved, obs
+
+
+def nodes_from_dict(link_dict: DataFrame) -> DataFrame:
+    return link_dict.groupBy(F.col("canonical_node_id").alias("node_id")).agg(
+        F.min("canonical_surface").alias("name"),
+        F.sort_array(F.collect_set("surface")).alias("surfaces"),
+        F.min("entity_id").alias("entity_id"),
     )
 
 
@@ -132,43 +219,45 @@ def run_kg_pipeline(
     num_partitions: int | None = None,
     nodes_out: str | None = None,
     edges_out: str | None = None,
+    link_dict: DataFrame | None = None,
+    extraction: str = "pandas",
+    salt_input: bool = True,
 ) -> KgResult:
-    """Run the full pipeline; optionally materialize Parquet tables."""
+    """Run the full pipeline; optionally materialize Parquet tables.
+
+    Pass a pre-built ``link_dict`` (prepare_link_dict) to amortize
+    dictionary prep across repeated runs. ``extraction``: "pandas"
+    (Arrow-batched kernel, the general path) or "expr" (pure JVM
+    regexp expressions — identical output for regex-expressible
+    grammars, no Python workers).
+    """
     spark = transcripts.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    t = salted_repartition(transcripts, num_partitions, "conv_id", "turn_idx")
+    # Salting re-spreads a conversation-clustered source (e.g. an
+    # Iceberg table partitioned by conv bucket with a hot conversation)
+    # before the extraction kernel. When the source's splits are
+    # already byte-even (plain file splits usually are), skip it:
+    # extraction is a narrow map and the shuffle of full-text rows is
+    # pure memory-bandwidth cost.
+    if salt_input:
+        t = salted_repartition(transcripts, num_partitions, "conv_id", "turn_idx")
+    else:
+        t = transcripts
 
-    obs_turns = Observation("turns")
+    obs_turns = Observation()
     t = t.observe(obs_turns, F.count(F.lit(1)).alias("n_turns"))
 
-    mentions = extract_mentions(t)
-    linked, obs_link = link_mentions(mentions, alias_dict)
+    if extraction == "expr":
+        from batch_import_spark.pipeline.extract import extract_mentions_expr
 
-    canon = canonicalize_surfaces(alias_dict)
-    canon_b = F.broadcast(
-        canon.select("surface", "canonical_surface", "canonical_node_id")
-    )
-
-    resolved = (
-        linked.join(
-            canon_b.select(
-                F.col("surface").alias("subj_surface"),
-                F.col("canonical_surface").alias("subj"),
-                F.col("canonical_node_id").alias("subj_id"),
-            ),
-            "subj_surface",
-        )
-        .join(
-            canon_b.select(
-                F.col("surface").alias("obj_surface"),
-                F.col("canonical_surface").alias("obj"),
-                F.col("canonical_node_id").alias("obj_id"),
-            ),
-            "obj_surface",
-        )
-    )
+        mentions = extract_mentions_expr(t)
+    else:
+        mentions = extract_mentions(t)
+    if link_dict is None:
+        link_dict = prepare_link_dict(alias_dict)
+    resolved, obs_link = link_and_canonicalize(mentions, link_dict)
 
     # triple grain: map-side partial agg keeps the shuffle tiny
     edges = resolved.groupBy("subj_id", "subj", "pred", "obj_id", "obj").agg(
@@ -177,15 +266,7 @@ def run_kg_pipeline(
         F.max(F.struct("conv_id", "turn_idx")).alias("last_seen"),
     )
     triples = edges.select("subj", "pred", "obj")
-
-    nodes = (
-        canon.groupBy(F.col("canonical_node_id").alias("node_id"))
-        .agg(
-            F.min("canonical_surface").alias("name"),
-            F.sort_array(F.collect_set("surface")).alias("surfaces"),
-            F.min("entity_id").alias("entity_id"),
-        )
-    )
+    nodes = nodes_from_dict(link_dict)
 
     metrics: dict = {}
     if nodes_out:

@@ -1,0 +1,103 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The KG end-to-end job (the BASELINE.json metric: triples/sec) runs on
+deterministically generated transcripts sized by SPARK_GRAFT_BENCH_TURNS
+(default ~160k turns) — same generator, any parallelism, same rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+
+    from batch_import_spark.session import build_session
+
+    spark = build_session(
+        app_name="batch-import-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- KG end-to-end throughput (the headline metric) ---
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df, generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=n_convs, median_turns=16, hot_factor=100)
+    t = t.localCheckpoint(eager=True)  # materialize input; time the pipeline only
+    n_turns = t.count()
+
+    t0 = time.time()
+    res = run_kg_pipeline(t, alias_dict_df(spark))
+    n_edges = res.edges.count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    extras["kg_turns"] = n_turns
+    extras["kg_edges"] = n_edges
+    extras["turns_per_sec"] = round(n_turns / kg_sec, 1)
+    # triples/sec = resolved mention occurrences per second (the unit
+    # the reference's rels/sec maps to: one emitted relationship)
+    n_triples = res.edges.agg(F.sum("n_occurrences")).collect()[0][0]
+    extras["kg_triple_occurrences"] = int(n_triples)
+    extras["triples_per_sec"] = round(n_triples / kg_sec, 1)
+
+    # --- representative operator queries at sf ---
+    qs = entry_mod.queries()
+    bench_queries = [
+        "q1_pricing_summary",
+        "q3_revenue_topk",
+        "j1_index_lookup",
+        "w1_window_running",
+        "cc_components",
+        "dedup_exact",
+        "minhash_near_dups",
+        "ann_cosine_topk",
+        "text_fingerprint",
+        "kg_extract_canonicalize",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
