@@ -426,6 +426,69 @@ SELECT DISTINCT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) FROM na
 """
 
 
+def _fulltext_lookup(spark, sf):
+    """A8 fulltext analog: tokenized postings + scored top-k lookup."""
+    from batch_import_spark.operators.fulltext import (
+        build_fulltext_postings,
+        fulltext_lookup,
+    )
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    entries = c.select(
+        F.lit("customers").alias("index_name"),
+        F.lit("c_name").alias("key_prop"),
+        F.col("c_name").alias("key_value"),
+        F.col("c_custkey").alias("node_id"),
+    )
+    postings = build_fulltext_postings(entries)
+    queries_df = c.where(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").alias("query_id"), F.col("c_name").alias("query")
+    )
+    return fulltext_lookup(queries_df, postings, top_k=3).select(
+        "query_id", "node_id", "n_matched", "score", "rank"
+    )
+
+
+_FULLTEXT_SQL = """
+WITH postings AS (
+  SELECT DISTINCT tok AS token, c_custkey AS node_id
+  FROM (SELECT UNNEST(regexp_split_to_array(lower(c_name), '[^\\w]+')) AS tok, c_custkey FROM customer)
+  WHERE tok <> ''
+),
+q AS (
+  SELECT c_custkey AS query_id, tok AS token,
+         len(list_filter(regexp_split_to_array(lower(c_name), '[^\\w]+'), x -> x <> '')) AS n_query_tokens
+  FROM (SELECT c_custkey, c_name, UNNEST(list_filter(regexp_split_to_array(lower(c_name), '[^\\w]+'), x -> x <> '')) AS tok
+        FROM customer WHERE c_custkey < 5)
+),
+matched AS (
+  SELECT q.query_id, q.n_query_tokens, p.node_id, COUNT(*) AS n_matched
+  FROM q JOIN postings p ON q.token = p.token
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, node_id, n_matched,
+         ROUND(CAST(n_matched AS DOUBLE) / n_query_tokens, 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY CAST(n_matched AS DOUBLE) / n_query_tokens DESC, node_id ASC) AS rank
+  FROM matched
+)
+SELECT query_id, node_id, n_matched, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _cube_counts(spark, sf):
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def _dedup_exact(spark, sf):
     from batch_import_spark.operators.dedup import exact_dedup
 
@@ -621,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _topk_per_group,
         "set_ops": _set_ops,
         "rollup_counts": _rollup_counts,
+        "cube_counts": _cube_counts,
+        "fulltext_lookup": _fulltext_lookup,
         # training-data ops
         "dedup_exact": _dedup_exact,
         "dedup_groups": _dedup_groups,
@@ -658,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _TOPK_SQL,
         "set_ops": _SET_SQL,
         "rollup_counts": _ROLLUP_SQL,
+        "cube_counts": _CUBE_SQL,
+        "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
         "dedup_groups": _DEDUPG_SQL,
         "ann_cosine_topk": _ANN_SQL,

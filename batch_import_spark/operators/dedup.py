@@ -60,35 +60,38 @@ def duplicate_groups(
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (expression)."""
+    """Distinct word n-gram shingles of normalized text (expression).
+
+    Built from ``arrays_zip`` over shifted slices — each zipped element
+    is O(1) to read. (A per-index ``element_at`` formulation is O(len)
+    per access ⇒ O(len²) per document: measured 10+ s on 500 long docs
+    vs ~1 s for this one.)
+    """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
     k = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, j + 1, k) for j in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
     return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Distinct char n-grams (expression; arrays_zip over shifted char
+    slices — per-index substring would be O(len) each on UTF8)."""
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    k = F.length(norm) - (n - 1)
-    return F.array_distinct(
-        F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k), lambda i: F.substring(norm, i, F.lit(n))
-            ),
-        ).otherwise(F.array(norm))
+    chars = F.filter(F.split(norm, ""), lambda x: x != "")
+    k = F.size(chars) - (n - 1)
+    shifted = [F.slice(chars, j + 1, k) for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*shifted), lambda s: F.concat(*[s[str(j)] for j in range(n)])
     )
+    return F.array_distinct(F.when(k > 0, grams).otherwise(F.array(norm)))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -175,25 +178,24 @@ def minhash_near_duplicates(
     base = sigs.select(
         "id", "sh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
-    banded = base.select(
-        "id", "sh", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band")
-    )
-    left = banded.select(
-        F.col("band"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    # band join on (band, id) ONLY — exploding the shingle arrays
+    # num_bands× through the self-join multiplies shuffle volume by
+    # the band count; attach each side's shingle set once afterwards
+    banded = base.select("id", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band"))
     cand = (
-        left.join(right, "band")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        banded.join(banded.select(F.col("band"), F.col("id").alias("id_b")), "band")
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    sh = base.select("id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
