@@ -222,6 +222,7 @@ def run_kg_pipeline(
     link_dict: DataFrame | None = None,
     extraction: str = "pandas",
     salt_input: bool = True,
+    write_mode: str = "overwrite",
 ) -> KgResult:
     """Run the full pipeline; optionally materialize Parquet tables.
 
@@ -268,12 +269,15 @@ def run_kg_pipeline(
     triples = edges.select("subj", "pred", "obj")
     nodes = nodes_from_dict(link_dict)
 
+    # write_mode mirrors the reference's keep_db (Config.java:197-199):
+    # "overwrite" replaces the target store, "append" keeps it (A7);
+    # idempotent per-partition resume lives in pipeline/checkpoint.py
     metrics: dict = {}
     if nodes_out:
-        nodes.write.mode("overwrite").parquet(nodes_out)
+        nodes.write.mode(write_mode).parquet(nodes_out)
         nodes = spark.read.parquet(nodes_out)
     if edges_out:
-        edges.write.mode("overwrite").parquet(edges_out)
+        edges.write.mode(write_mode).parquet(edges_out)
         edges = spark.read.parquet(edges_out)
         triples = edges.select("subj", "pred", "obj")
         # metrics only become available after an action has run
