@@ -25,7 +25,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "60000"))
 
     from batch_import_spark.session import build_session
 
@@ -49,19 +49,25 @@ def main() -> int:
     t = t.localCheckpoint(eager=True)  # materialize input; time the pipeline only
     n_turns = t.count()
 
-    t0 = time.time()
-    res = run_kg_pipeline(t, alias_dict_df(spark))
-    n_edges = res.edges.count()
-    kg_sec = time.time() - t0
-    timings["kg_pipeline"] = round(kg_sec, 3)
+    n_triples = None
+    for kernel in ("pandas", "expr"):
+        best, n_edges = None, 0
+        for _ in range(2):  # run 1 warms codegen/python workers
+            t0 = time.time()
+            res = run_kg_pipeline(t, alias_dict_df(spark), extraction=kernel)
+            n_edges = res.edges.count()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        timings[f"kg_pipeline_{kernel}"] = round(best, 3)
+        if n_triples is None:
+            n_triples = int(res.edges.agg(F.sum("n_occurrences")).collect()[0][0])
+        extras[f"turns_per_sec_{kernel}"] = round(n_turns / best, 1)
+        # triples/sec = resolved mention occurrences per second (the
+        # unit the reference's rels/sec maps to: one emitted edge)
+        extras[f"triples_per_sec_{kernel}"] = round(n_triples / best, 1)
     extras["kg_turns"] = n_turns
     extras["kg_edges"] = n_edges
-    extras["turns_per_sec"] = round(n_turns / kg_sec, 1)
-    # triples/sec = resolved mention occurrences per second (the unit
-    # the reference's rels/sec maps to: one emitted relationship)
-    n_triples = res.edges.agg(F.sum("n_occurrences")).collect()[0][0]
-    extras["kg_triple_occurrences"] = int(n_triples)
-    extras["triples_per_sec"] = round(n_triples / kg_sec, 1)
+    extras["kg_triple_occurrences"] = n_triples
 
     # --- representative operator queries at sf ---
     qs = entry_mod.queries()
