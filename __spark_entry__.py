@@ -75,30 +75,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- SQL-expressible operator queries ---------------------------------------
 
 
+# Tie-free double → decimal(18,4) leaf transform: FLOOR at 1e-4 kills
+# the half-way values whose double→decimal rounding differs between
+# Spark (HALF_UP) and DuckDB; FLOOR of the identical IEEE product is
+# engine-independent. Downstream decimal arithmetic is then exact and
+# outputs keep full scale (no second rounding anywhere).
+def _d4f(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.floor(col * 10000) / 10000).cast("decimal(18,4)")
+
+
+_D4F_SQL = "CAST(FLOOR({c} * 10000) / 10000 AS DECIMAL(18,4))"
+
+
 def _q1_pricing_summary(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(d4("l_quantity")), 2).cast("decimal(18,2)").alias("sum_qty"),
-            F.round(F.sum(d4("l_extendedprice")), 2).cast("decimal(18,2)").alias("sum_base_price"),
-            F.round(
-                F.sum(d4("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d4("l_discount"))), 2
+            F.sum(_d4f("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
+            F.sum(_d4f("l_extendedprice")).cast("decimal(18,4)").alias("sum_base_price"),
+            F.sum(
+                _d4f("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _d4f("l_discount"))
             )
-            .cast("decimal(18,2)")
+            .cast("decimal(22,8)")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+       CAST(SUM({_D4F_SQL.format(c="l_quantity")}) AS DECIMAL(18,4)) AS sum_qty,
+       CAST(SUM({_D4F_SQL.format(c="l_extendedprice")}) AS DECIMAL(18,4)) AS sum_base_price,
+       CAST(SUM({_D4F_SQL.format(c="l_extendedprice")} * (CAST(1 AS DECIMAL(18,4)) - {_D4F_SQL.format(c="l_discount")})) AS DECIMAL(22,8)) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -306,13 +318,13 @@ def _g1_counts(spark, sf):
     e = spark.read.parquet(f"{sf}/events.parquet")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("total_value"),
+        F.sum(_d4f("value")).cast("decimal(18,4)").alias("total_value"),
     )
 
 
-_G1_SQL = """
+_G1_SQL = f"""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS total_value
+       CAST(SUM({_D4F_SQL.format(c="value")}) AS DECIMAL(18,4)) AS total_value
 FROM events GROUP BY event_type
 """
 
@@ -325,21 +337,18 @@ def _w1_window_running(spark, sf):
     return e.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,4)"))
+        F.sum(_d4f("value"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(18,2)")
+        .cast("decimal(18,4)")
         .alias("running_value"),
-        F.lag(F.col("value").cast("decimal(18,4)"), 1)
-        .over(w)
-        .cast("decimal(18,2)")
-        .alias("prev_value"),
+        F.lag(_d4f("value"), 1).over(w).cast("decimal(18,4)").alias("prev_value"),
     )
 
 
-_W1_SQL = """
+_W1_SQL = f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_value,
-       CAST(LAG(CAST(value AS DECIMAL(18,4)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,2)) AS prev_value
+       CAST(SUM({_D4F_SQL.format(c="value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_value,
+       CAST(LAG({_D4F_SQL.format(c="value")}, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,4)) AS prev_value
 FROM events WHERE user_id < 20
 """
 
@@ -616,29 +625,250 @@ SELECT subj, pred, obj, COUNT(*) AS n FROM (
 """
 
 
-# --- non-SQL-expressible (rows-only checks) ----------------------------------
+# --- full KG pipeline over SQL-reproducible planted transcripts --------------
+#
+# The planting derives every choice from a 60-bit md5 hash of doc_id —
+# computable identically in DuckDB — so the ORACLE can reconstruct the
+# closed-form canonical triple set while the Spark side runs the REAL
+# pipeline: pandas extraction kernel, broadcast link join with
+# skip-unresolved (Ghost*) and ambiguity (Amb) handling, CC
+# canonicalization merging alias surfaces (Person<k> ≡ P<k>, Org<k> ≡
+# O<k>; canonical = lexicographic min = P<k>/O<k>).
+
+_PHRASES = ["works at", "manages", "uses", "reports to", "located in"]
+_PREDS = ["works_at", "manages", "uses", "reports_to", "located_in"]
+_H60_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _h60(col) -> F.Column:
+    """60-bit md5-derived hash of a (string-cast) column — the
+    engine-portable twin of DuckDB's hex-parse of md5."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def _planted_transcripts_full(spark, sf_dir: str) -> DataFrame:
+    """documents → transcripts with planted, SQL-reproducible structure:
+    always one known-entity sentence; ~20% an unresolvable Ghost
+    sentence; ~20% an ambiguous-surface sentence; plus lowercase filler
+    (never matches the extraction grammar's [A-Z] anchor)."""
+    return _plant_from_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# closed-form mention reconstruction shared by the batch + streaming oracles;
+# Ghost/Amb sentences are skipped by linking and thus absent here
+_PLANT_SQL = f"""
+  SELECT doc_id,
+         'P' || CAST(doc_id % 40 AS VARCHAR) AS subj,
+         {_PREDS!r}[(h % 5) + 1] AS pred,
+         CASE (h >> 3) % 3
+           WHEN 0 THEN 'P' || CAST((h >> 8) % 40 AS VARCHAR)
+           WHEN 1 THEN 'O' || CAST((h >> 8) % 12 AS VARCHAR)
+           ELSE 'Tool' || CAST((h >> 8) % 8 AS VARCHAR)
+         END AS obj
+  FROM (SELECT doc_id, {_H60_SQL} AS h FROM documents)
+"""
 
 
 def _kg_pipeline_full(spark, sf):
     from batch_import_spark.pipeline.kg import run_kg_pipeline
-    from batch_import_spark.sources.transcripts import alias_dict_df, generate_transcripts
+    from batch_import_spark.sources.transcripts import alias_dict_df
 
-    t = generate_transcripts(spark, n_convs=60, median_turns=8, hot_factor=10)
-    return run_kg_pipeline(t, alias_dict_df(spark)).triples
+    t = _planted_transcripts_full(spark, sf)
+    res = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark))
+    return res.edges.select(
+        "subj", "pred", "obj", F.col("n_occurrences").cast("long").alias("n")
+    )
+
+
+_KG_FULL_SQL = f"""
+SELECT subj, pred, obj, COUNT(*) AS n FROM ({_PLANT_SQL})
+GROUP BY subj, pred, obj
+"""
+
+
+def _stream_kg_windowed(spark, sf):
+    """Structured-Streaming KG over a bounded replay of the planted
+    transcripts: readStream(parquet) → pandas extraction → broadcast
+    link join → event-time-windowed triple counts → memory sink
+    (complete mode, availableNow). Stream == batch on bounded input,
+    so the DuckDB oracle is the closed-form windowed triple set."""
+    from batch_import_spark.pipeline.kg import prepare_link_dict
+    from batch_import_spark.sources.transcripts import alias_dict_df
+    from batch_import_spark.streaming.stream_kg import streaming_triples
+
+    import os
+    import tempfile
+
+    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    # the file-stream source watches a DIRECTORY; expose the single
+    # parquet file through a temp dir of symlinks (at production scale
+    # the source is a real landing directory / Iceberg table)
+    stream_dir = tempfile.mkdtemp(prefix="stream_kg_docs_")
+    os.symlink(
+        os.path.abspath(f"{sf}/documents.parquet"),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    stream_docs = spark.readStream.schema(docs_schema).parquet(stream_dir)
+    # same planting as _planted_transcripts_full, applied to the stream
+    t = _plant_from_docs(stream_docs)
+    link_dict = prepare_link_dict(alias_dict_df(spark))
+    triples = streaming_triples(t, link_dict, window_duration="10 minutes")
+    q = (
+        triples.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_kg_windowed_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_kg_windowed_out")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "subj",
+        "pred",
+        "obj",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def _plant_from_docs(docs: DataFrame) -> DataFrame:
+    """The _planted_transcripts_full transform factored over an
+    arbitrary documents DataFrame (batch or streaming)."""
+    h = _h60("doc_id")
+    k = (F.col("doc_id") % 40).cast("string")
+    subj = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("Person"), k)
+    ).otherwise(F.concat(F.lit("P"), k))
+    phrase = F.element_at(F.array(*[F.lit(p) for p in _PHRASES]), (h % 5 + 1).cast("int"))
+    obj_kind = F.shiftright(h, 3) % 3
+    obj_alias = F.shiftright(h, 6) % 2
+    obj = (
+        F.when(
+            obj_kind == 0,
+            F.concat(
+                F.when(obj_alias == 0, F.lit("Person")).otherwise(F.lit("P")),
+                (F.shiftright(h, 8) % 40).cast("string"),
+            ),
+        )
+        .when(
+            obj_kind == 1,
+            F.concat(
+                F.when(obj_alias == 0, F.lit("Org")).otherwise(F.lit("O")),
+                (F.shiftright(h, 8) % 12).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("Tool"), (F.shiftright(h, 8) % 8).cast("string")))
+    )
+    s1 = F.concat(subj, F.lit(" "), phrase, F.lit(" "), obj, F.lit(". "))
+    s2 = F.when(
+        F.shiftright(h, 14) % 10 < 2,
+        F.concat(
+            F.lit("Ghost"),
+            (F.shiftright(h, 18) % 6).cast("string"),
+            F.lit(" uses Tool"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(". "),
+        ),
+    ).otherwise(F.lit(""))
+    s3 = F.when(F.shiftright(h, 22) % 10 < 2, F.lit("Amb manages Org3. ")).otherwise(
+        F.lit("")
+    )
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.concat(s1, s2, s3, F.col("text")).alias("text"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 60).alias("ts"),
+    )
+
+
+_STREAM_KG_SQL = f"""
+SELECT CAST(make_timestamp((ts_sec - (ts_sec % 600)) * 1000000) AS VARCHAR) AS window_start,
+       subj, pred, obj, COUNT(*) AS n_occurrences
+FROM (
+  SELECT p.*, 1735689600 + p.doc_id * 60 AS ts_sec FROM ({_PLANT_SQL}) p
+)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --- near-dup queries with brute-force DuckDB oracles -------------------------
+#
+# All 25 near-dup pairs in the test corpus sit at Jaccard ≥ 0.9 with a
+# clean gap below 0.3, so at threshold 0.8 the LSH banding (32 hashes ×
+# 16 bands = 2 rows/band: per-pair miss ≤ (1-0.9²)^16 ≈ 3e-12) recalls
+# the exact set; the query's exact-Jaccard verification then makes its
+# output literally equal to the oracle's brute-force pair set.
 
 
 def _minhash_near_dups(spark, sf):
     from batch_import_spark.operators.dedup import minhash_near_duplicates
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    return minhash_near_duplicates(d, num_hashes=32, num_bands=8, threshold=0.5)
+    return minhash_near_duplicates(d, num_hashes=32, num_bands=16, threshold=0.8)
+
+
+_MINHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+           THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)])
+           ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+"""
 
 
 def _simhash_near_dups(spark, sf):
     from batch_import_spark.operators.dedup import simhash_near_duplicates
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    return simhash_near_duplicates(d, max_hamming=6)
+    # max_hamming=3 + 4-block pigeonhole index ⇒ the output is the
+    # EXACT hamming≤3 pair set — the oracle recomputes the 60-bit
+    # md5-based SimHash independently and brute-forces all pairs
+    return simhash_near_duplicates(d, max_hamming=3, kernel="expr").select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    from batch_import_spark.operators.dedup import SIMHASH_BITS
+
+    wsums = ",\n    ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS th FROM tok),
+w AS (SELECT doc_id, {wsums} FROM th GROUP BY doc_id),
+sig0 AS (SELECT doc_id, ({sig}) AS sig FROM w),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.sig, 0)::BIGINT AS sig
+  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def _lang_id(spark, sf):
@@ -648,20 +878,110 @@ def _lang_id(spark, sf):
     return d.select("doc_id", language_id("text").alias("lang_pred"))
 
 
+def _lang_id_oracle_sql() -> str:
+    from batch_import_spark.functions.text import LANG_STOPWORDS
+
+    structs = ",\n    ".join(
+        "{'score': len(list_filter(toks, x -> list_contains("
+        + repr(sw).replace('"', "'")
+        + f", x))), 'lang': '{lang}'}}"
+        for lang, sw in sorted(LANG_STOPWORDS.items())
+    )
+    return f"""
+SELECT doc_id, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id, list_max([
+    {structs}
+  ]) AS best
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)
+)
+"""
+
+
 def _lsh_ann(spark, sf):
     from batch_import_spark.operators.similarity import lsh_ann_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(emb, q, dim=64, k=5, num_tables=6, num_planes=8)
+    return lsh_ann_topk(emb, q, dim=64, k=5, num_tables=6, num_planes=8).select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine"), 4).alias("cos4")
+    )
+
+
+def _lsh_ann_oracle_sql(dim: int = 64, num_tables: int = 6, num_planes: int = 8) -> str:
+    """Replicates the deterministic hyperplane LSH in DuckDB: the same
+    plane constants (similarity.hyperplane) are inlined as double
+    literals, buckets are recomputed per (table, vector), and the
+    candidate top-k is exactly re-ranked — bit-for-bit the Spark plan's
+    semantics, independently evaluated."""
+    from batch_import_spark.operators.similarity import hyperplane
+
+    def bucket_expr(vcol: str, t: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            plane = hyperplane(dim, t, p)
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cb_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr('v', t)} AS bucket FROM c"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS v
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+),
+cb AS (
+{cb_selects}
+),
+pairs AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM cb JOIN (SELECT vec_id AS query_id, tbl, bucket FROM cb WHERE vec_id < 5) qb
+    ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+),
+scored AS (
+  SELECT p.query_id, p.vec_id, ROUND(list_dot_product(q.v, c.v), 6) AS cosine
+  FROM pairs p
+  JOIN c q ON p.query_id = q.vec_id
+  JOIN c ON p.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <= 5
+"""
 
 
 def _multimodal_features(spark, sf):
     from batch_import_spark.functions.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, n=48))
+    feats = extract_features(synthesize_media(spark, n=48))
+    # project the array<float> feature to a scalar signature: the
+    # harness canonicalizes rows by sorting every column, and raw
+    # arrays are unhashable there (r01 crash); the rounded concat is
+    # deterministic and just as discriminative for a rows-only check
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.concat_ws(
+            ",", F.transform(F.col("feature"), lambda x: F.format_string("%.3f", x))
+        ).alias("feature_sig"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -695,12 +1015,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_regex": _extract_regex,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
-        # rows-only (no SQL equivalent)
         "kg_pipeline_full": _kg_pipeline_full,
+        "stream_kg_windowed": _stream_kg_windowed,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
         "lang_id": _lang_id,
         "lsh_ann_topk": _lsh_ann,
+        # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
     }
 
@@ -732,4 +1053,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
         "kg_extract_canonicalize": _KG_SQL,
+        "kg_pipeline_full": _KG_FULL_SQL,
+        "stream_kg_windowed": _STREAM_KG_SQL,
+        "minhash_near_dups": _MINHASH_SQL,
+        "simhash_near_dups": _simhash_oracle_sql(),
+        "lang_id": _lang_id_oracle_sql(),
+        "lsh_ann_topk": _lsh_ann_oracle_sql(),
     }

@@ -131,7 +131,10 @@ def connected_components(
     return members.union(roots).distinct()
 
 
-DRIVER_CC_THRESHOLD = 2_000_000  # pairs that comfortably union-find in driver memory
+# pairs that comfortably union-find in driver memory: 500k string/long
+# pairs ≈ tens of MB on the heap — conservative vs the broadcast-join
+# budget this path replaces
+DRIVER_CC_THRESHOLD = 500_000
 
 
 def canonical_mapping(

@@ -121,7 +121,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 64, seed: int = 7) -> 
 
 
 def lsh_bands(signature: Column, num_bands: int = 16) -> Column:
-    """Split a signature into bands → array of (band_idx, band_hash)."""
+    """Split a signature into bands → array of (band_idx, band_hash).
+
+    When ``size % num_bands != 0`` the remainder is distributed over
+    the first bands (band sizes differ by at most 1) — no trailing
+    hashes are silently dropped.
+    """
+    size = F.size(signature)
+    base = (size / num_bands).cast("int")  # floor
+    rem = size % num_bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda b: F.struct(
@@ -132,8 +140,8 @@ def lsh_bands(signature: Column, num_bands: int = 16) -> Column:
                     F.transform(
                         F.slice(
                             signature,
-                            (b * (F.size(signature) / num_bands).cast("int") + 1).cast("int"),
-                            (F.size(signature) / num_bands).cast("int"),
+                            (b * base + F.least(b, rem) + 1).cast("int"),
+                            (base + F.when(b < rem, 1).otherwise(0)).cast("int"),
                         ),
                         lambda x: x.cast("string"),
                     ),
@@ -272,16 +280,99 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+# --- expression-based SimHash (JVM codegen, oracle-reproducible) -------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def md5_token_hash(tok: Column) -> Column:
+    """60-bit token hash = first 15 hex chars of md5, as a long.
+
+    md5 (not xxhash64) on purpose: every SQL engine can reproduce it,
+    so SimHash signatures are verifiable against an independent oracle
+    (DuckDB: ``('0x' || substr(md5(tok), 1, 15))::BIGINT``).
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash_expr(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
+) -> DataFrame:
+    """60-bit SimHash over word tokens — pure JVM expressions.
+
+    Shape: explode tokens → one groupBy with 60 per-bit weighted sums
+    (map-side combinable; shuffle = 60 longs per doc) → signature
+    assembly. The flat explode+groupBy formulation deliberately avoids
+    60 nested array-lambda aggregates in one expression (JIT method-
+    limit blowups; see minhash note above). Tokenization matches the
+    pandas kernel: lowercase, whitespace split, empties dropped; docs
+    with no tokens get signature 0.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    exploded = df.select(F.col(id_col).alias("_sid"), F.explode(toks).alias("_tok"))
+    h = md5_token_hash(F.col("_tok"))
+    sums = exploded.groupBy("_sid").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_w{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sums.select(
+        "_sid",
+        sum(
+            [
+                F.when(F.col(f"_w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias(out_col),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(sig, F.col(id_col) == F.col("_sid"), "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col))
+    )
+
+
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation: 4×16-bit block keys (pigeonhole: any pair
-    within Hamming ≤ 3 shares at least one exact 16-bit block) — the
-    standard scalable SimHash index; verification via bit_count(xor).
+    Candidate generation: ``max_hamming + 1`` block keys (pigeonhole:
+    a pair within Hamming ≤ k differs in at most k blocks, so at least
+    one of k+1 blocks is identical) — the standard scalable SimHash
+    index; verification via bit_count(xor). The output is therefore the
+    EXACT pair set (candidate generation is lossless), which is what
+    the DuckDB oracle checks. Larger ``max_hamming`` ⇒ more, shorter
+    blocks ⇒ bigger buckets and more shuffle — the scale knob.
+    ``kernel``: "expr" = 60-bit md5-based JVM expressions (default,
+    oracle-reproducible); "pandas" = 64-bit FNV-1a vectorized-numpy
+    kernel (the Python-kernel demonstration path).
     """
-    sh = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    if kernel == "expr":
+        sh = simhash_expr(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
+        sig_bits = SIMHASH_BITS
+    else:
+        sh = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+        sig_bits = 64
+    n_blocks = max_hamming + 1
+    if n_blocks > sig_bits:
+        raise ValueError(f"max_hamming {max_hamming} too large for {sig_bits}-bit signature")
+    base, rem = divmod(sig_bits, n_blocks)
+    starts, s = [], 0
+    for i in range(n_blocks):
+        size = base + (1 if i < rem else 0)
+        starts.append((s, size))
+        s += size
     blocks = sh.select(
         "id",
         "simhash",
@@ -290,11 +381,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), start)
+                        .bitwiseAND(F.lit((1 << size) - 1))
                         .alias("block_val"),
                     )
-                    for i in range(4)
+                    for i, (start, size) in enumerate(starts)
                 ]
             )
         ).alias("blk"),

@@ -101,9 +101,11 @@ def _resolve_endpoint(
     df: DataFrame, field, index_entries: DataFrame, out_col: str
 ) -> DataFrame:
     """Resolve one endpoint column to a node id (or null)."""
-    if not field.is_indexed:
-        # no index declared → the cell IS the node id: Long.parseLong
-        # (Importer.java:177-184 falls through to id(lineData) at :212-214)
+    if field.is_id or not field.is_indexed:
+        # the cell IS the node id: Long.parseLong. Reference precedence
+        # (Importer.java:177-184 → id() at :212-214): the literal parse
+        # wins whenever indexName==null OR type==ID — an 'a:id:myindex'
+        # endpoint parses as a long, it does NOT go through the index.
         return df.withColumn(out_col, F.col(field.col_name).cast("long"))
     # unique-key lookup: getSingle semantics — ambiguous keys yield null
     lut = build_unique_alias_dict(

@@ -34,15 +34,22 @@ def with_dense_id(
 ) -> DataFrame:
     """Dense 0-based IDs in ``order_cols`` order, scalably.
 
-    Plan shape: range shuffle → per-partition window (hash shuffle on
-    spark_partition_id, 1:1) → broadcast join of ~num_partitions
-    offsets. No stage ever holds more than one partition's rows.
+    Plan shape: range shuffle → checkpoint (pins the sampled range
+    boundaries so the counts job and the row-number job can't diverge)
+    → per-partition window → broadcast join of ~num_partitions offsets.
+    No stage ever holds more than one partition's rows.
     """
     if num_partitions:
         ranged = df.repartitionByRange(num_partitions, *order_cols)
     else:
         ranged = df.repartitionByRange(*order_cols)
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    # Materialize the partitioning ONCE: repartitionByRange samples
+    # with a per-execution seed (and AQE may re-coalesce), so running
+    # the counts job and the row-number job from the same lazy plan can
+    # see DIFFERENT partition assignments → duplicate/skipped IDs.
+    # After this checkpoint both jobs read the identical partitioning.
+    ranged = ranged.localCheckpoint(eager=True)
 
     # tiny: one row per partition
     counts = (

@@ -105,13 +105,23 @@ def _hyperplane(dim: int, table: int, plane: int, seed: int = 11) -> list[float]
 
 
 def lsh_bucket(vec: Column, dim: int, table: int, num_planes: int = 12) -> Column:
-    """Sign-bit bucket id of ``vec`` for one hash table (expression)."""
+    """Sign-bit bucket id of ``vec`` for one hash table (expression).
+
+    Plane components stay full-precision doubles so the bucket id is
+    reproducible by any engine evaluating the same dot product (the
+    DuckDB oracle inlines these constants; a float32 truncation here
+    would diverge at sign boundaries).
+    """
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         plane = _hyperplane(dim, table, p)
-        proj = dot(vec, F.array(*[F.lit(c).cast("float") for c in plane]))
+        proj = dot(vec, F.array(*[F.lit(float(c)) for c in plane]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+# public alias: oracle-SQL generators need the same plane constants
+hyperplane = _hyperplane
 
 
 def lsh_ann_topk(

@@ -119,50 +119,64 @@ class KgCheckpointer:
 
         turn_counts = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_turns"))
 
-        mentions = extract_mentions(
-            t.select("conv_id", "turn_idx", "text")
-        ).withColumn("bucket", _bucket("conv_id", self.n_buckets))
-        link_dict = prepare_link_dict(alias_dict)
-        resolved, _obs = link_and_canonicalize(mentions, link_dict)
-
-        edges = resolved.groupBy(
-            "bucket", "subj_id", "subj", "pred", "obj_id", "obj"
-        ).agg(F.count(F.lit(1)).alias("n_occurrences"))
-
-        # idempotent per-bucket replacement
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        edges.write.mode("overwrite").partitionBy("bucket").parquet(self.edges_dir)
-
-        # nodes derive from the dictionary alone — bucket-independent
-        nodes_from_dict(link_dict).write.mode("overwrite").parquet(self.nodes_dir)
-
-        # lineage counters per bucket (exact aggregates, not observers —
-        # observers double-count under resampling plans; see verify skill)
-        mention_counts = mentions.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n_mentions")
+        # persist the extraction output: it feeds the edges write AND
+        # two counter aggregations below — without the cache the
+        # mapInPandas extraction (the most expensive stage) re-runs
+        # once per consumer (3× per resume call)
+        mentions = (
+            extract_mentions(t.select("conv_id", "turn_idx", "text"))
+            .withColumn("bucket", _bucket("conv_id", self.n_buckets))
+            .persist()
         )
-        linked_counts = resolved.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_linked"))
-        triple_counts = (
-            self.spark.read.parquet(self.edges_dir)
-            .where(F.col("bucket").isin([int(b) for b in pending]))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_triples"))
-        )
-        manifest_rows = (
-            turn_counts.join(mention_counts, "bucket", "left")
-            .join(linked_counts, "bucket", "left")
-            .join(triple_counts, "bucket", "left")
-            .select(
-                "bucket",
-                F.lit(run_id).alias("run_id"),
-                "n_turns",
-                F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
-                F.coalesce("n_linked", F.lit(0)).alias("n_linked"),
-                (
-                    F.coalesce("n_mentions", F.lit(0)) - F.coalesce("n_linked", F.lit(0))
-                ).alias("n_skipped"),
-                F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        try:
+            link_dict = prepare_link_dict(alias_dict)
+            resolved, _obs = link_and_canonicalize(mentions, link_dict)
+
+            edges = resolved.groupBy(
+                "bucket", "subj_id", "subj", "pred", "obj_id", "obj"
+            ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+            # idempotent per-bucket replacement; partitionOverwriteMode
+            # is set per-write (a session-level set would silently leak
+            # dynamic semantics into later unrelated overwrites)
+            edges.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("bucket").parquet(self.edges_dir)
+
+            # nodes derive from the dictionary alone — bucket-independent
+            nodes_from_dict(link_dict).write.mode("overwrite").parquet(self.nodes_dir)
+
+            # lineage counters per bucket (exact aggregates, not observers —
+            # observers double-count under resampling plans; see verify skill)
+            mention_counts = mentions.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_mentions")
             )
-        )
-        manifest_rows.write.mode("append").parquet(self.manifest_dir)
+            linked_counts = resolved.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n_linked")
+            )
+            triple_counts = (
+                self.spark.read.parquet(self.edges_dir)
+                .where(F.col("bucket").isin([int(b) for b in pending]))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_triples"))
+            )
+            manifest_rows = (
+                turn_counts.join(mention_counts, "bucket", "left")
+                .join(linked_counts, "bucket", "left")
+                .join(triple_counts, "bucket", "left")
+                .select(
+                    "bucket",
+                    F.lit(run_id).alias("run_id"),
+                    "n_turns",
+                    F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+                    F.coalesce("n_linked", F.lit(0)).alias("n_linked"),
+                    (
+                        F.coalesce("n_mentions", F.lit(0)) - F.coalesce("n_linked", F.lit(0))
+                    ).alias("n_skipped"),
+                    F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+                )
+            )
+            manifest_rows.write.mode("append").parquet(self.manifest_dir)
+        finally:
+            mentions.unpersist()
         return {"buckets_processed": len(pending)}

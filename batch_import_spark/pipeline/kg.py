@@ -17,7 +17,7 @@ Scale design (100 TB / 1000 executors):
   deterministic salted repartition on (conv_id, turn_idx) — no rand(),
   reproducible at any parallelism;
 - the link dictionary is vocabulary-bounded, not corpus-bounded: when
-  it fits the driver (≤ ~2M entries) its unique-key filter AND
+  it fits the driver (≤ DICT_DRIVER_THRESHOLD entries) its unique-key filter AND
   connected-components canonicalization run driver-side (union-find) —
   the CC analog of a broadcast join, saving ~10 s of iterative-shuffle
   latency per run; past the threshold both fall back to the
@@ -42,7 +42,16 @@ from batch_import_spark.operators.ids import stable_id
 from batch_import_spark.operators.linking import build_unique_alias_dict
 from batch_import_spark.pipeline.extract import extract_mentions
 
-DICT_DRIVER_THRESHOLD = 2_000_000
+# Max dictionary entries fetched to the driver for the union-find fast
+# path. 500k (surface, id) string rows ≈ 25-75 MB on the driver heap —
+# comfortably below broadcast-size territory; beyond it the distributed
+# groupBy/CC path takes over with identical semantics.
+DICT_DRIVER_THRESHOLD = 500_000
+
+
+# observability for the broadcast-vs-shuffle dictionary decision:
+# filled by prepare_link_dict on every call (n_fetched, threshold, path)
+LAST_DICT_STATS: dict = {}
 
 
 @dataclass
@@ -54,15 +63,24 @@ class KgResult:
 
 
 def salted_repartition(
-    df: DataFrame, num_partitions: int, *keys: str, salt_buckets: int = 64
+    df: DataFrame, num_partitions: int, *keys: str, salt_buckets: int | None = None
 ) -> DataFrame:
     """Deterministic skew-defusing repartition.
 
     Salt = xxhash64 of ALL key columns (e.g. conv_id + turn_idx), so a
-    hot conv_id spreads over ``salt_buckets`` buckets while staying
-    reproducible (no rand()).
+    hot conv_id spreads across partitions while staying reproducible
+    (no rand()).
+
+    By default the repartition hashes the FULL 64-bit salt — hash
+    partitioning on a low-cardinality bucket column caps fill at the
+    bucket count (64 buckets would fill at most 64 of 1000 executors'
+    partitions, a silent parallelism ceiling at scale). Pass
+    ``salt_buckets`` only when a coarser co-grouping is wanted, and it
+    is floored at 4×num_partitions so it can never cap parallelism.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(salt_buckets))
+    salt = F.xxhash64(*[F.col(k) for k in keys])
+    if salt_buckets is not None:
+        salt = F.pmod(salt, F.lit(max(salt_buckets, 4 * num_partitions)))
     return df.repartition(num_partitions, salt)
 
 
@@ -86,6 +104,14 @@ def prepare_link_dict(
     # one job decides the path AND fetches the data: take(T+1) either
     # proves the dict exceeds the driver threshold or returns it whole
     rows = raw.take(driver_threshold + 1)
+    LAST_DICT_STATS.clear()
+    LAST_DICT_STATS.update(
+        {
+            "n_fetched": len(rows),
+            "driver_threshold": driver_threshold,
+            "path": "driver" if len(rows) <= driver_threshold else "distributed",
+        }
+    )
     if len(rows) <= driver_threshold:
         ents: dict = {}
         for r in rows:
@@ -221,7 +247,7 @@ def run_kg_pipeline(
     edges_out: str | None = None,
     link_dict: DataFrame | None = None,
     extraction: str = "pandas",
-    salt_input: bool = True,
+    salt_input: bool = False,
     write_mode: str = "overwrite",
 ) -> KgResult:
     """Run the full pipeline; optionally materialize Parquet tables.
@@ -236,12 +262,12 @@ def run_kg_pipeline(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Salting re-spreads a conversation-clustered source (e.g. an
-    # Iceberg table partitioned by conv bucket with a hot conversation)
-    # before the extraction kernel. When the source's splits are
-    # already byte-even (plain file splits usually are), skip it:
-    # extraction is a narrow map and the shuffle of full-text rows is
-    # pure memory-bandwidth cost.
+    # Salting (OFF by default — BENCH/BASELINE.md) re-spreads a
+    # conversation-clustered source (e.g. an Iceberg table partitioned
+    # by conv bucket with a hot conversation) before the extraction
+    # kernel. When the source's splits are already byte-even (plain
+    # file splits usually are), keep it off: extraction is a narrow
+    # map and the shuffle of full-text rows is pure bandwidth cost.
     if salt_input:
         t = salted_repartition(transcripts, num_partitions, "conv_id", "turn_idx")
     else:

@@ -148,8 +148,15 @@ def _convert_scalar(col: Column, type_name: str) -> Column:
             F.lower(col) == "true"
         )
     if type_name == "char":
-        # value.charAt(0) (Type.java:62-67)
-        return F.substring(col, 1, 1)
+        # value.charAt(0) (Type.java:62-67): Java THROWS on an empty
+        # string (StringIndexOutOfBounds → import aborts); match that
+        # fail-fast instead of silently yielding "". Null passes through
+        # (empty cell = no property happens before conversion).
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(
+                F.length(col) >= 1, F.substring(col, 1, 1)
+            ).otherwise(F.raise_error(F.lit("char conversion of empty string")))
+        )
     # id/int/long/double/float/byte/short: ANSI cast = fail-fast parse
     return col.cast(_SCALAR_TYPES[type_name])
 

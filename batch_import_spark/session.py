@@ -49,6 +49,10 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # fail-fast typed conversion (readme.md:41-42 'Conversion
+        # failure will result in abort') requires ANSI mode — set it
+        # explicitly on the production path, never trust the default
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -4,6 +4,9 @@ Reproduces the reference's scan stack (SURVEY.md §2.1 S1-S9) on
 Spark's CSV reader:
 
 - S1/S2: buffered scan + transparent .gz — built into spark.read.csv;
+  .zip (also reference-supported, Importer.java:248-250) is extracted
+  driver-side to local temp first — Spark's reader can't split or
+  decompress zip;
 - S3: multi-file lists imported *in declared order* (Config.java:145-154)
   — we read files separately and carry a file_seq so dense row-number
   IDs can span files in sequence (readme.md:38);
@@ -28,14 +31,16 @@ from __future__ import annotations
 
 import gzip
 import io
+import tempfile
 import zipfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
-from batch_import_spark.schema import HeaderField, convert_column, parse_header
+from batch_import_spark.schema import HeaderField, assert_ansi, convert_column, parse_header
 
 
 @dataclass(frozen=True)
@@ -75,6 +80,28 @@ def _split_header_line(line: str, delim: str, quotes: bool) -> list[str]:
     return next(_csv.reader([line], delimiter=delim, quotechar='"', escapechar="\\"))
 
 
+def _maybe_extract_zip(paths: list[str]) -> list[str]:
+    """Driver-side .zip extraction (Spark's CSV reader decompresses
+    .gz by extension but NOT .zip; Importer.java:248-250 supports both).
+
+    Mirrors the reference's posture: zip decompression is inherently
+    single-stream. At 100 TB, inputs should arrive as .gz/parquet — a
+    .zip is a convenience path, extracted once to local temp.
+    """
+    out = []
+    for p in paths:
+        if p.endswith(".zip"):
+            d = tempfile.mkdtemp(prefix="batch_import_zip_")
+            with zipfile.ZipFile(p) as z:
+                names = z.namelist()
+                if not names:
+                    raise ValueError(f"empty zip archive: {p}")
+                out.append(z.extract(names[0], d))
+        else:
+            out.append(p)
+    return out
+
+
 def read_reference_csv(
     spark: SparkSession,
     paths: list[str] | str,
@@ -89,9 +116,27 @@ def read_reference_csv(
     data row within the file) — together the stable total order that
     reference row-number node IDs are defined over.
     """
+    # fail-fast typed conversion needs ANSI casts on THIS path, not
+    # just under pytest (readme.md:41-42: bad cells abort the import)
+    assert_ansi(spark)
     if isinstance(paths, str):
         paths = [p for p in paths.split(",") if p]
-    header = parse_header(_split_header_line(_read_first_line(paths[0]), delim, quotes))
+    paths = _maybe_extract_zip(paths)
+    first_lines = [_read_first_line(p) for p in paths]
+    header = parse_header(_split_header_line(first_lines[0], delim, quotes))
+    # the reference imports each file under its OWN header
+    # (Importer.doImport per file); a list is only mergeable when the
+    # headers agree — otherwise file 1's schema silently mislabels the
+    # rest, so fail fast and let the caller import per file (the
+    # id_offset parameter of import_nodes supports sequential ids).
+    for p, line in zip(paths[1:], first_lines[1:]):
+        if _split_header_line(line, delim, quotes) != _split_header_line(
+            first_lines[0], delim, quotes
+        ):
+            raise ValueError(
+                f"header of {p!r} differs from {paths[0]!r}; import these "
+                "files separately (per-file headers, Importer.doImport)"
+            )
 
     raw_schema = T.StructType(
         [T.StructField(f"_c{i}", T.StringType(), True) for i in range(len(header))]
@@ -112,8 +157,6 @@ def read_reference_csv(
     parts = []
     for seq, path in enumerate(paths):
         fdf = spark.read.options(**reader_opts).schema(raw_schema).csv(path)
-        # 0-based data-row number within this file. A CSV file's rows
-        # keep file order across its splits; zipWithIndex preserves it.
         fdf = _with_line_no(fdf)
         parts.append(fdf.withColumn("file_seq", F.lit(seq)))
     raw = parts[0]
@@ -132,13 +175,36 @@ def read_reference_csv(
 
 
 def _with_line_no(df: DataFrame) -> DataFrame:
-    """Attach a 0-based, file-order row number to a single-file scan.
+    """Attach a 0-based, file-order row number to a single-file scan —
+    entirely JVM-side (no RDD round-trip through Python).
 
-    Uses RDD zipWithIndex (order-preserving across splits; one extra
-    count job). Applied per file so multi-file lists keep the
-    reference's sequential-ID semantics (readme.md:38). The row payload
-    stays opaque — no Python-side per-column work.
+    A single-file CSV scan assigns partition indexes in file-offset
+    order and preserves row order within each split, and that
+    partitioning is a pure function of (file size, maxPartitionBytes)
+    — NOT sampled — so the per-partition count job and the row-number
+    job below are guaranteed to see the same assignment (unlike
+    repartitionByRange, which needs a checkpoint; see operators/ids.py).
+    ``monotonically_increasing_id`` is (partition_id << 33) + position,
+    i.e. deterministic in-partition file order here.
+
+    Plan shape: scan → tiny count-per-split job → per-partition window
+    (1:1 shuffle on _pid) + broadcast join of ~n_splits offsets. One
+    extra pass over the file, zero Python serialization.
     """
-    schema = df.schema.add("line_no", T.LongType(), False)
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    pdf = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = pdf.groupBy("_pid").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        pdf.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(odf), "_pid")
+        .withColumn("line_no", (F.col("_offset") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_mid", "_rn", "_offset")
+    )

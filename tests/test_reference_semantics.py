@@ -113,9 +113,12 @@ def test_boolean_java_semantics(spark, tmp_path):
 
 def test_conversion_failure_aborts(spark, tmp_path):
     """CsvLineDataTest.java:19-31 / readme.md:41-42 — bad typed value
-    aborts the import (ANSI cast failure)."""
-    res = _nodes(spark, tmp_path, "age:int\nnot_a_number\n")
+    aborts the import (ANSI cast failure). The abort may surface at
+    import time (dense-ID checkpoint materializes eagerly) or at the
+    first downstream action — either way the bad cell never becomes a
+    silent NULL."""
     with pytest.raises(Exception):
+        res = _nodes(spark, tmp_path, "age:int\nnot_a_number\n")
         res.nodes.collect()
 
 
