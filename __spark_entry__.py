@@ -898,6 +898,64 @@ FROM (
 """
 
 
+def _ngram_jaccard(spark, sf):
+    from batch_import_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_jaccard_pairs(d, ngram_chars=5, threshold=0.7)
+
+
+# the oracle replicates BOTH the length-bucket blocking and the exact
+# n-gram Jaccard, so the blocked query's output is its closed form
+_NGRAM_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(FLOOR(length(text) / 32) AS INT) AS blk,
+         CASE WHEN len(norm) >= 5
+           THEN list_distinct([substr(norm, i, 5) FOR i IN generate_series(1, len(norm)-4)])
+           ELSE [norm] END AS ng
+  FROM (SELECT doc_id, text, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.7
+"""
+
+
+def _spatial_points(spark, sf) -> DataFrame:
+    """Deterministic lat/lon per customer from the md5 hash — integer
+    arithmetic then /10000.0, bit-identical in Spark and DuckDB."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    h = _h60("c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("node_id"),
+        ((h % 1800000) / 10000.0 - 90.0).alias("lat"),
+        ((F.shiftright(h, 21) % 3600000) / 10000.0 - 180.0).alias("lon"),
+    )
+
+
+def _spatial_bbox(spark, sf):
+    """A8 spatial index analog: grid-cell index build + pruned bbox
+    lookup (operators/spatial.py); the oracle is the plain range scan."""
+    from batch_import_spark.operators.spatial import bbox_lookup, build_spatial_index
+
+    idx = build_spatial_index(_spatial_points(spark, sf), cells_per_degree=10)
+    return bbox_lookup(idx, -30.0, 30.0, -90.0, 90.0, cells_per_degree=10)
+
+
+_SPATIAL_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS node_id,
+         (h % 1800000) / 10000.0 - 90.0 AS lat,
+         ((h >> 21) % 3600000) / 10000.0 - 180.0 AS lon
+  FROM (SELECT c_custkey, ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM customer)
+)
+SELECT node_id, lat, lon FROM pts
+WHERE lat >= -30.0 AND lat <= 30.0 AND lon >= -90.0 AND lon <= 90.0
+"""
+
+
 def _lsh_ann(spark, sf):
     from batch_import_spark.operators.similarity import lsh_ann_topk
 
@@ -1019,8 +1077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_windowed": _stream_kg_windowed,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
+        "ngram_jaccard": _ngram_jaccard,
         "lang_id": _lang_id,
         "lsh_ann_topk": _lsh_ann,
+        "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
     }
@@ -1057,6 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_kg_windowed": _STREAM_KG_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
+        "ngram_jaccard": _NGRAM_SQL,
         "lang_id": _lang_id_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "spatial_bbox_lookup": _SPATIAL_SQL,
     }

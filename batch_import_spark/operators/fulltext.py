@@ -8,9 +8,9 @@ postings, score candidates by matched-token count, rank.
 
 Exact-match semantics (the reference default) stay in
 operators/linking.py; this module is the candidate-generation path
-for fuzzy entity linking. Spatial indexes are out of scope
-(documented divergence; no Spark builtin and unused in the reference's
-own samples/tests).
+for fuzzy entity linking. The third reference index type, spatial,
+lives in operators/spatial.py (grid-cell index + pruned bbox/radius
+lookup).
 """
 
 from __future__ import annotations
