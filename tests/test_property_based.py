@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) for the invariants that matter at
+scale: typed-conversion round trips, dense-ID order parity, CC
+equivalence-closure correctness, SimHash block-index losslessness.
+
+The reference has no property-based layer (SURVEY.md §5); these guard
+OUR custom code paths — exactly the ones Catalyst can't check for us.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,  # each example runs Spark jobs — keep the budget sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=40
+    )
+)
+def test_int_conversion_round_trip(spark, vals):
+    """P1: any in-range int survives string→typed conversion exactly."""
+    from batch_import_spark.schema import convert_column
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "c string")
+    got = [r["x"] for r in df.select(convert_column(F.col("c"), "int").alias("x")).collect()]
+    assert sorted(got) == sorted(vals)
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=200, unique=True
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_dense_id_is_rank(spark, keys, parts):
+    """A2/O4: dense IDs equal the 0-based rank of the order key, at any
+    partition count (the reference-parity invariant)."""
+    from batch_import_spark.operators.ids import with_dense_id
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = with_dense_id(df, ["k"], id_col="nid", num_partitions=parts).collect()
+    expected = {k: i for i, k in enumerate(sorted(keys))}
+    assert {r["k"]: r["nid"] for r in out} == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=25)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_vs_union_find(spark, edges):
+    """Canonicalization CC == driver union-find on any small graph."""
+    from batch_import_spark.operators.canonicalize import connected_components
+
+    e = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "u long, v long"
+    ).where(F.col("u") != F.col("v"))
+    if e.count() == 0:
+        return
+    got = {
+        (r["node_id"], r["component_id"]) for r in connected_components(e).collect()
+    }
+    # reference union-find
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        nodes.update((u, v))
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {(n, comp_min[find(n)]) for n in nodes}
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    sigs=st.lists(
+        st.integers(min_value=0, max_value=2**60 - 1), min_size=2, max_size=12, unique=True
+    ),
+    k=st.integers(min_value=0, max_value=8),
+)
+def test_simhash_block_index_lossless(spark, sigs, k):
+    """Pigeonhole candidate generation finds EVERY pair within hamming k
+    — tested directly on arbitrary signatures via the same block split."""
+    from batch_import_spark.operators.dedup import SIMHASH_BITS
+
+    n_blocks = k + 1
+    base, rem = divmod(SIMHASH_BITS, n_blocks)
+    starts, s = [], 0
+    for i in range(n_blocks):
+        size = base + (1 if i < rem else 0)
+        starts.append((s, size))
+        s += size
+
+    def blocks(sig):
+        return [(i, (sig >> st_) & ((1 << sz) - 1)) for i, (st_, sz) in enumerate(starts)]
+
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            if bin(a ^ b).count("1") <= k:
+                assert set(blocks(a)) & set(blocks(b)), (a, b, k)
