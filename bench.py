@@ -52,7 +52,9 @@ def main() -> int:
     n_triples = None
     for kernel in ("pandas", "expr"):
         best, n_edges = None, 0
-        for _ in range(2):  # run 1 warms codegen/python workers
+        # best-of-3 (run 1 warms codegen/python workers): this sandbox's
+        # ambient steal swings single runs 2-5x (BENCH/BASELINE.md)
+        for _ in range(3):
             t0 = time.time()
             res = run_kg_pipeline(t, alias_dict_df(spark), extraction=kernel)
             n_edges = res.edges.count()
@@ -71,6 +73,8 @@ def main() -> int:
 
     # --- representative operator queries at sf ---
     qs = entry_mod.queries()
+    # NOTE: the set grew in round 2 (simhash, spatial) — compare
+    # per-query timings across rounds, not the total
     bench_queries = [
         "q1_pricing_summary",
         "q3_revenue_topk",
@@ -79,7 +83,9 @@ def main() -> int:
         "cc_components",
         "dedup_exact",
         "minhash_near_dups",
+        "simhash_near_dups",
         "ann_cosine_topk",
+        "spatial_bbox_lookup",
         "text_fingerprint",
         "kg_extract_canonicalize",
     ]
