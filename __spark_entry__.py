@@ -560,19 +560,76 @@ SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <
 
 
 def _text_quality(spark, sf):
+    """Full quality-feature surface (C4/Gopher-style signals).
+
+    Ratios stay double (identical IEEE ops both engines); the
+    composite score uses the floor transform (memory: decimal-tie
+    trick) so no engine-specific rounding can diverge.
+    """
+    from batch_import_spark.functions.text import (
+        bpe_ish_token_count,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_toks = token_count("text")
+    pr = punct_ratio("text")
+    sw = stopword_ratio("text", "en")
+    score = (
+        F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.5
+        + (F.lit(1.0) - F.least(F.lit(1.0), pr * 5)) * 0.3
+        + F.least(F.lit(1.0), sw * 4) * 0.2
+    )
+    mean_tok = F.when(
+        n_toks > 0,
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double") / n_toks,
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        n_toks.alias("n_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
         F.length(F.col("text")).alias("n_chars_m"),
+        (F.floor(mean_tok * 1e6) / 1e6).alias("mean_token_len"),
+        (F.floor(pr * 1e6) / 1e6).alias("punct_ratio"),
+        (F.floor(sw * 1e6) / 1e6).alias("stopword_ratio_en"),
+        (F.floor(score * 1e4) / 1e4).alias("quality_score"),
     )
 
 
-_TEXTQ_SQL = """
-SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-       length(text) AS n_chars_m
-FROM documents
+_TEXTQ_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]')) AS bpe_tokens,
+         CASE WHEN n_chars > 0
+              THEN (n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g'))) / CAST(n_chars AS DOUBLE)
+              ELSE 0.0 END AS pr,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\s+', '', 'g')) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS mean_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, bpe_tokens, n_chars AS n_chars_m,
+       floor(mean_tok * 1e6) / 1e6 AS mean_token_len,
+       floor(pr * 1e6) / 1e6 AS punct_ratio,
+       floor(sw * 1e6) / 1e6 AS stopword_ratio_en,
+       floor((least(1.0, n_tokens / 100.0) * 0.5
+              + (1.0 - least(1.0, pr * 5)) * 0.3
+              + least(1.0, sw * 4) * 0.2) * 1e4) / 1e4 AS quality_score
+FROM f
 """
 
 
@@ -1023,6 +1080,55 @@ SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <
 """
 
 
+def _multimodal_oracle_sql() -> str:
+    """Closed-form oracle for the deterministic media fixture.
+
+    ``synthesize_media(seed=5, n=48)`` is fully specified: payload_i =
+    sha256(b"5:i") digest repeated and truncated to 64+i bytes. The
+    payload hex and its sha256 are inlined as VALUES (DuckDB 1.0's
+    ``sha256()`` only accepts VARCHAR, so it cannot hash arbitrary
+    bytes itself); DuckDB independently recomputes ``n_bytes`` and the
+    16 strided byte-means of the stub decode (mean over positions
+    k ≡ j mod 16 with zero padding to a multiple of 16 — exactly
+    ``decode_media``'s reshape(-1,16).mean(axis=0)). %.3f formatting
+    of the float32 mean vs DuckDB's exact double agrees for every
+    fixture value (denominators 4..7 never land on a .0005 boundary).
+    """
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(48):
+        h = hashlib.sha256(f"5:{i}".encode()).digest()
+        payload = bytes(h * ((64 + i) // len(h) + 1))[: 64 + i]
+        rows.append(
+            f"({i}, '{kinds[i % 3]}', '{payload.hex()}', "
+            f"'{hashlib.sha256(payload).hexdigest()}')"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH src(media_id, kind, hx, sha256) AS (VALUES
+  {values}
+),
+b AS (
+  SELECT media_id, kind, hx, sha256,
+         CAST(length(hx) / 2 AS INT) AS n_bytes,
+         CAST(ceil(length(hx) / 2.0 / 16) AS INT) AS denom
+  FROM src
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, kind, n_bytes, sha256,
+  array_to_string(
+    [printf('%.3f',
+       list_sum([CASE WHEN k % 16 = j
+                      THEN CAST(('0x' || substr(hx, 2 * k + 1, 2)) AS INT)
+                      ELSE 0 END
+                 FOR k IN generate_series(0, n_bytes - 1)])
+       / CAST(denom AS DOUBLE))
+     FOR j IN generate_series(0, 15)], ',') AS feature_sig
+FROM b
+"""
+
+
 def _multimodal_features(spark, sf):
     from batch_import_spark.functions.multimodal import extract_features, synthesize_media
 
@@ -1121,4 +1227,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "spatial_bbox_lookup": _SPATIAL_SQL,
+        "multimodal_features": _multimodal_oracle_sql(),
     }
