@@ -1080,6 +1080,151 @@ SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <
 """
 
 
+def _ivf_ann(spark, sf):
+    from batch_import_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, q, n_cells=16, n_probe=4, k=5).select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine"), 4).alias("cos4")
+    )
+
+
+def _ivf_ann_oracle_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """Replicates the IVF path in DuckDB: same deterministic seed
+    centroids (unit vectors of the n_cells lowest ids), same
+    argmax-dot assignment with the same tie-break (max dot, then min
+    cell), same n_probe routing, same exact re-rank."""
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS v
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+  FROM c ORDER BY vec_id LIMIT {n_cells}
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, cent.v) DESC, cent.cell ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, cent.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, cent.v) DESC, cent.cell ASC) AS rn
+    FROM c q CROSS JOIN cent WHERE q.vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, ROUND(list_dot_product(p.qv, a.v), 6) AS cosine
+  FROM probe p JOIN assign a ON a.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embed_near_dups(spark, sf):
+    """Embedding-cosine near-dup detection over a corpus with planted
+    duplicates (the raw table's max pairwise cosine is ~0.51, so
+    variants are planted deterministically: a ×2-scaled copy — cosine
+    exactly 1 — and an index-perturbed copy at ~0.9985)."""
+    from batch_import_spark.operators.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") < 15)
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias("embedding"),
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x * (F.lit(1.0) + F.lit(0.05) * (i % 3))
+        ).alias("embedding"),
+    )
+    corpus = emb.unionAll(scaled).unionAll(perturbed)
+    pairs = embedding_near_duplicates(
+        corpus, dim=64, threshold=0.95, num_tables=4, num_planes=10
+    )
+    return pairs.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cos4"))
+
+
+def _embed_near_dups_oracle_sql(
+    dim: int = 64, num_tables: int = 4, num_planes: int = 10, threshold: float = 0.95
+) -> str:
+    """Replicates the planted corpus AND the LSH bucketing in DuckDB
+    (same inline hyperplane constants as similarity.hyperplane), so
+    the bucketed self-join's output is closed-form — recall losses,
+    if any, match by construction."""
+    from batch_import_spark.operators.similarity import hyperplane
+
+    def bucket_expr(vcol: str, t: int) -> str:
+        terms = []
+        for p in range(num_planes):
+            plane = hyperplane(dim, t, p)
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    cb_selects = "\nUNION ALL\n".join(
+        f"SELECT id, {t} AS tbl, {bucket_expr('v', t)} AS bucket FROM c"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+  FROM embeddings WHERE vec_id < 15
+  UNION ALL
+  SELECT vec_id + 20000,
+         [CAST(embedding AS DOUBLE[])[i + 1] * (1.0 + 0.05 * (i % 3))
+          FOR i IN generate_series(0, len(embedding) - 1)]
+  FROM embeddings WHERE vec_id < 15
+),
+c AS (
+  SELECT id,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS v
+  FROM raw
+),
+cb AS (
+{cb_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+  SELECT p.id_a, p.id_b, ROUND(list_dot_product(ca.v, cb2.v), 6) AS cosine
+  FROM pairs p JOIN c ca ON p.id_a = ca.id JOIN c cb2 ON p.id_b = cb2.id
+)
+SELECT id_a, id_b, ROUND(cosine, 4) AS cos4 FROM scored WHERE cosine >= {threshold}
+"""
+
+
 def _multimodal_oracle_sql() -> str:
     """Closed-form oracle for the deterministic media fixture.
 
@@ -1186,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "lang_id": _lang_id,
         "lsh_ann_topk": _lsh_ann,
+        "ivf_ann_topk": _ivf_ann,
+        "embed_near_dups": _embed_near_dups,
         "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
@@ -1226,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_SQL,
         "lang_id": _lang_id_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "ivf_ann_topk": _ivf_ann_oracle_sql(),
+        "embed_near_dups": _embed_near_dups_oracle_sql(),
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 - ``cosine_topk``   — exact brute force: broadcast the query set,
   dot products via zip_with/aggregate expressions (JVM codegen),
   per-query top-k via window. The correctness baseline.
@@ -9,6 +9,12 @@ Two paths:
   multi-probe via several independent tables; candidates re-ranked
   exactly. The scale path: the join keys on (table, bucket) so only
   colliding vectors are compared.
+- ``ivf_ann_topk``  — inverted-file (IVF) coarse quantization:
+  deterministic seed centroids (optionally Lloyd-refined with
+  spherical k-means as DataFrame ops), argmax-dot cell assignment in
+  codegen, n_probe cell routing per query, exact re-rank. The other
+  scale path: candidate count is ~N·n_probe/n_cells, and the
+  inverted lists partition cleanly by cell for storage-side pruning.
 
 Scale notes: brute force is O(N·Q) — fine when Q is small and
 broadcast; LSH turns it into a bucket join whose cost tracks bucket
@@ -179,6 +185,159 @@ def lsh_ann_topk(
             "vec_id",
             F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by max dot product (ties → lowest cell id).
+
+    Centroids are inlined as array literals — they are tiny by design
+    (IVF keeps n_cells ≲ √N), so assignment is a pure codegen
+    expression: no join, no shuffle, one corpus scan.
+    """
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    dot(vec, F.array(*[F.lit(float(x)) for x in cent])).alias("score"),
+                    F.lit(-i).alias("neg_cell"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+    )
+    return (-best["neg_cell"]).cast("int")
+
+
+def ivf_seed_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer seeds: the unit-normalized
+    vectors of the ``n_cells`` lowest ids (k-means-style init without
+    RNG state, so any engine can reproduce the cells)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ivf_refine_centroids(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means Lloyd steps over the corpus (DataFrame ops).
+
+    Each step: argmax-dot assignment (codegen), element-wise mean per
+    cell (posexplode → groupBy(cell, pos) — one shuffle of N·dim
+    scalars, map-side combinable), renormalize driver-side. Only
+    n_cells × dim values ever reach the driver. Empty cells keep
+    their previous centroid.
+    """
+    import math as _math
+
+    c = corpus.select(unit(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        assigned = c.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        comp = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in comp:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        new = []
+        for i, old in enumerate(centroids):
+            if i not in by_cell:
+                new.append(old)
+                continue
+            m = [by_cell[i].get(p, 0.0) for p in range(len(old))]
+            n = _math.sqrt(sum(x * x for x in m)) or 1.0
+            new.append([x / n for x in m])
+        centroids = new
+    return centroids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    refine_iters: int = 0,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` inverted lists, route each query to its ``n_probe``
+    nearest cells, re-rank candidates exactly.
+
+    The scale path for large corpora: assignment is one codegen scan
+    (centroids are broadcast literals), the candidate join touches
+    ~N·n_probe/n_cells vectors per query instead of N, and the
+    inverted lists can be written out partitioned by ``cell`` so
+    repeated query batches prune partitions at the parquet scan.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), unit(F.col(vec_col)).alias("c_vec"))
+    if centroids is None:
+        centroids = ivf_seed_centroids(corpus, n_cells, id_col, vec_col)
+    if refine_iters:
+        centroids = ivf_refine_centroids(
+            corpus, centroids, refine_iters, id_col, vec_col
+        )
+    assigned = c.withColumn("cell", _nearest_cell(F.col("c_vec"), centroids))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), unit(F.col(vec_col)).alias("q_vec")
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("cell"),
+                            dot(
+                                F.col("q_vec"),
+                                F.array(*[F.lit(float(x)) for x in cent]),
+                            ).alias("score"),
+                        )
+                        for i, cent in enumerate(centroids)
+                    ]
+                )
+            ).alias("cs"),
+        )
+        .select("query_id", "q_vec", F.col("cs.cell").alias("cell"), F.col("cs.score").alias("score"))
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .where(F.col("prank") <= n_probe)
+        .drop("score", "prank")
+    )
+    # cells are disjoint and probes are distinct per query → no dedup needed
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

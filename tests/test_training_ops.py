@@ -150,6 +150,70 @@ def test_lsh_ann_recalls_self(spark, emb):
     assert top1 == {i: i for i in range(5)}
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """With n_probe == n_cells every cell is scanned, so IVF must
+    reproduce the exact brute-force top-k (same ranks, same cosines)."""
+    from batch_import_spark.operators.similarity import ivf_ann_topk
+
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 6))
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_ann_topk(emb, queries, n_cells=8, n_probe=8, k=5).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_recall_and_self_hit(spark, emb):
+    from batch_import_spark.operators.similarity import ivf_ann_topk
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_ann_topk(emb, queries, n_cells=16, n_probe=4, k=5)
+    rows = got.collect()
+    # each query's own vector sits in its nearest cell → rank-1 = self
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {i: i for i in range(5)}
+    # k results per query, ranks dense 1..5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_ivf_lloyd_refinement_converges(spark, emb):
+    """Refined centroids stay unit-norm and strictly improve (or keep)
+    the spherical k-means objective (mean max-dot over the corpus)."""
+    import numpy as np
+
+    from batch_import_spark.operators.similarity import (
+        ivf_refine_centroids,
+        ivf_seed_centroids,
+    )
+
+    seeds = ivf_seed_centroids(emb, n_cells=8)
+    refined = ivf_refine_centroids(emb, seeds, iters=2)
+    assert len(refined) == 8
+    for c in refined:
+        assert np.linalg.norm(c) == pytest.approx(1.0, abs=1e-9)
+
+    vecs = np.array(
+        [r["embedding"] for r in emb.collect()], dtype=np.float64
+    )
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def objective(cents):
+        return float(np.mean(np.max(vecs @ np.array(cents).T, axis=1)))
+
+    assert objective(refined) >= objective(seeds) - 1e-9
+
+
 def test_embedding_near_duplicates_planted(spark):
     base = np.arange(8, dtype=np.float32)
     rows = [
