@@ -50,6 +50,87 @@ def test_stream_matches_batch(spark, tmp_path):
     assert g == b and len(g) > 0
 
 
+def test_conversation_sessions_gap_timeout(spark, tmp_path):
+    """Stateful sessionization (applyInPandasWithState): sessions close
+    when the event-time watermark passes last_ts + gap, with exact
+    turn/mention counts and first/last timestamps."""
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_import_spark.streaming.sessions import conversation_sessions
+
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+
+    def us(minutes):
+        return int((t0.timestamp() + minutes * 60) * 1_000_000)
+
+    def table(rows):
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array([us(r[3]) for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: convs A (3 turns, 2 mentions) and B (2 turns, 0 mentions)
+    pq.write_table(
+        table(
+            [
+                ("A", 0, "Alice works at Acme. hello", 0),
+                ("A", 1, "no mention here", 1),
+                ("A", 2, "Bob uses Spark.", 2),
+                ("B", 0, "plain turn", 0),
+                ("B", 1, "another plain turn", 0),
+            ]
+        ),
+        src / "b1.parquet",
+    )
+    # batch 2: conv C two hours later — advances the watermark past
+    # A/B's (last_ts + 30 min) timeout
+    pq.write_table(table([("C", 0, "later turn", 120)]), src / "b2.parquet")
+    # batch 3: conv D even later — the batch in which A/B's timeout fires
+    pq.write_table(table([("D", 0, "final turn", 240)]), src / "b3.parquet")
+    base = os.path.getmtime(src / "b1.parquet")
+    os.utime(src / "b2.parquet", (base + 10, base + 10))
+    os.utime(src / "b3.parquet", (base + 20, base + 20))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        conversation_sessions(stream, gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["conv_id"]: r for r in spark.sql("select * from sessions").collect()}
+    assert "A" in rows and "B" in rows
+    a, b = rows["A"], rows["B"]
+    assert a["n_turns"] == 3 and a["n_mentions"] == 2
+    assert a["first_ts"] == t0 and a["last_ts"] == datetime(2025, 1, 1, 0, 2, 0)
+    assert b["n_turns"] == 2 and b["n_mentions"] == 0
+    # D's timeout (t0+4h30m) is beyond any watermark the bounded
+    # replay reaches — it must stay open; C may close only if a
+    # trailing no-data batch runs
+    assert "D" not in rows
+
+
 def test_streaming_turn_stats_runs(spark, tmp_path):
     t = generate_transcripts(spark, n_convs=6, median_turns=5, hot_factor=2)
     src = str(tmp_path / "src2")
