@@ -163,10 +163,15 @@ def minhash_near_duplicates(
     """(id_a, id_b, jaccard) pairs with exact Jaccard ≥ threshold.
 
     Pipeline: shingle → minhash → band → self-join on band bucket →
-    distinct candidate pairs → exact verification. The band join is
-    the only shuffle; candidates are verified with the true shingle
-    sets so results are exact w.r.t. the threshold (LSH affects recall
-    only through banding parameters).
+    distinct candidate pairs → exact verification. The band join and
+    the verify join shuffle only scalar rows; exact Jaccard comes
+    from a count-based intersection (|A∩B| via a (shingle, id) join
+    restricted to candidate pairs, |A|/|B| from per-doc counts), so
+    no row ever carries a full shingle set — the giant-row /
+    collect_set memory profile that kills 100 TB runs never forms.
+    Results are exact w.r.t. the threshold (LSH affects recall only
+    through banding parameters). ``threshold`` must be > 0 (the
+    verify join drops zero-intersection candidates by construction).
     """
     # explode + groupBy-min formulation: one flat codegen stage with
     # map-side partial mins, instead of num_hashes nested array lambdas
@@ -180,15 +185,14 @@ def minhash_near_duplicates(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(7 + i))).alias(f"_h{i}")
             for i in range(num_hashes)
-        ],
-        F.collect_set("shingle").alias("sh"),
+        ]
     )
     base = sigs.select(
-        "id", "sh", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
     # band join on (band, id) ONLY — exploding the shingle arrays
     # num_bands× through the self-join multiplies shuffle volume by
-    # the band count; attach each side's shingle set once afterwards
+    # the band count
     banded = base.select("id", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band"))
     cand = (
         banded.join(banded.select(F.col("band"), F.col("id").alias("id_b")), "band")
@@ -196,11 +200,22 @@ def minhash_near_duplicates(
         .select(F.col("id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base.select("id", "sh")
+    # exact verify without materialized sets: shingles are distinct
+    # per doc (word_shingles), so |A∩B| is a row count
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(exploded.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(exploded.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
     )
     return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
