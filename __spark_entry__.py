@@ -955,6 +955,75 @@ FROM (
 """
 
 
+def _corpus_curation(spark, sf):
+    """Composed training-data curation pipeline in ONE query:
+    quality gate (token count) → language ID → exact dedup (keep the
+    min doc_id per content fingerprint) → per-language corpus stats.
+    Exercises the full curation surface end-to-end; every stage is a
+    codegen expression or a map-side-combinable aggregate — the
+    whole thing is two shuffles (fp-grain, then lang-grain) at any
+    corpus size."""
+    from batch_import_spark.functions.text import language_id, token_count
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    # prefix fingerprint (same grouping rule as dedup_exact): the
+    # testdata's full texts are all unique, so full-content md5 would
+    # leave the dedup stage with nothing to do
+    enriched = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        language_id("text").alias("lang"),
+        F.md5(F.substring(F.col("text"), 1, 20)).alias("fp"),
+    )
+    qual = enriched.where(F.col("n_tokens") >= 5)
+    per_fp = qual.groupBy("lang", "fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),  # the kept doc's
+    )
+    return per_fp.groupBy("lang").agg(
+        F.sum("n_copies").alias("n_quality_docs"),
+        F.count(F.lit(1)).alias("n_unique_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dupes_removed"),
+        F.sum("n_tokens").alias("sum_tokens_kept"),
+    )
+
+
+def _corpus_curation_oracle_sql() -> str:
+    from batch_import_spark.functions.text import LANG_STOPWORDS
+
+    structs = ",\n    ".join(
+        "{'score': len(list_filter(toks, x -> list_contains("
+        + repr(sw).replace('"', "'")
+        + f", x))), 'lang': '{lang}'}}"
+        for lang, sw in sorted(LANG_STOPWORDS.items())
+    )
+    return rf"""
+WITH enriched AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(substr(text, 1, 20)) AS fp,
+         CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang
+  FROM (
+    SELECT doc_id, text, list_max([
+      {structs}
+    ]) AS best
+    FROM (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents)
+  )
+),
+qual AS (SELECT * FROM enriched WHERE n_tokens >= 5),
+per_fp AS (
+  SELECT lang, fp, COUNT(*) AS n_copies, arg_min(n_tokens, doc_id) AS n_tokens
+  FROM qual GROUP BY lang, fp
+)
+SELECT lang,
+       CAST(SUM(n_copies) AS BIGINT) AS n_quality_docs,
+       COUNT(*) AS n_unique_docs,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dupes_removed,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens_kept
+FROM per_fp GROUP BY lang
+"""
+
+
 def _ngram_jaccard(spark, sf):
     from batch_import_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1333,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "embed_near_dups": _embed_near_dups,
+        "corpus_curation": _corpus_curation,
         "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
@@ -1375,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "embed_near_dups": _embed_near_dups_oracle_sql(),
+        "corpus_curation": _corpus_curation_oracle_sql(),
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
     }
