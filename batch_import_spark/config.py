@@ -23,14 +23,51 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+_ELEMENT_TYPES = {"node-index", "node_index", "relationship-index", "relationship_index"}
+# exact + fulltext are the reference's two (IndexInfo.java:20);
+# spatial is this engine's extension (operators/spatial.py, A8)
+_INDEX_TYPES = {"exact", "fulltext", "spatial"}
+
+
 @dataclass
 class IndexInfo:
-    """An index declaration (IndexInfo.java:18-38)."""
+    """An index declaration (IndexInfo.java:18-38).
+
+    Validates like the reference's constructor (IndexInfo.java:19-20):
+    bad element/index types abort at config time, not mid-import.
+    """
 
     element_type: str  # node-index | relationship-index
     name: str
-    index_type: str  # exact | fulltext
+    index_type: str  # exact | fulltext | spatial (spatial: ours)
     file: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.element_type not in _ELEMENT_TYPES:
+            raise ValueError(
+                "ElementType has to be node_index or relationship_index, "
+                f"but is {self.element_type}"
+            )
+        if self.index_type not in _INDEX_TYPES:
+            raise ValueError(
+                f"IndexType has to be one of {sorted(_INDEX_TYPES)}, "
+                f"but is {self.index_type}"
+            )
+
+    @property
+    def is_node_index(self) -> bool:
+        return self.element_type in ("node-index", "node_index")
+
+    def should_import_file(self) -> bool:
+        """True when a standalone index file exists to import (A5);
+        mirrors IndexInfo.shouldImportFile (IndexInfo.java:59-63)."""
+        import os
+
+        return (
+            self.file is not None
+            and os.path.isfile(self.file)
+            and os.access(self.file, os.R_OK)
+        )
 
 
 @dataclass
@@ -91,7 +128,10 @@ def load_config(
         ):
             if k.startswith(prefix):
                 name = k[len(prefix):]
-                cfg.indexes[name] = IndexInfo(etype, name, v)
+                # value may carry a file: "exact:file" (fromConfigEntry,
+                # IndexInfo.java:29-38)
+                itype, _, ifile = v.partition(":")
+                cfg.indexes[name] = IndexInfo(etype, name, itype, ifile or None)
     for quad_start in range(0, len(index_args or []), 4):
         et, name, itype, file = (index_args or [])[quad_start : quad_start + 4]
         cfg.indexes[name] = IndexInfo(et, name, itype, file)

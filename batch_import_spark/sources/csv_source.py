@@ -22,6 +22,12 @@ Spark's CSV reader:
 - P2: empty cell → NULL (property later omitted);
 - P6: short rows null-padded, extra columns dropped (PERMISSIVE).
 
+DIVERGENCE (deliberate): blank lines are SKIPPED, not treated as
+end-of-data. The reference stops the whole import at the first blank
+line (AbstractLineData.java:70-73 ``processLine = parse() > 0`` +
+Importer.java:96 loop) — silent truncation, a data-loss hazard at
+100 TB. Tested in test_reference_semantics.py.
+
 Scale note: a single .gz file is unsplittable; at 100 TB inputs arrive
 as many files so parallelism comes from the file list — same contract
 as the reference's comma-separated multi-file config.

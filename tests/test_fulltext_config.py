@@ -61,3 +61,48 @@ def test_config_index_quadruples():
         "fulltext",
         "idx.csv",
     )
+
+
+# --- IndexInfo parity (IndexInfoTest.java) -----------------------------------
+
+
+def test_index_value_with_file_suffix():
+    """fromConfigEntry splits 'exact:file' (IndexInfoTest.java:25-31)."""
+    cfg = load_config("batch_import.node_index.foo=exact:file")
+    ii = cfg.indexes["foo"]
+    assert (ii.element_type, ii.name, ii.index_type, ii.file) == (
+        "node-index", "foo", "exact", "file"
+    )
+
+
+def test_index_invalid_type_aborts():
+    """IndexInfoTest.java:52-54: bad index type → IllegalArgumentException."""
+    import pytest
+
+    from batch_import_spark.config import IndexInfo
+
+    with pytest.raises(ValueError, match="IndexType"):
+        IndexInfo("node_index", "foo", "bar", None)
+
+
+def test_index_invalid_element_type_aborts():
+    """IndexInfoTest.java:56-58: bad element type aborts."""
+    import pytest
+
+    from batch_import_spark.config import IndexInfo
+
+    with pytest.raises(ValueError, match="ElementType"):
+        IndexInfo("foo", "exact", "exact", None)
+
+
+def test_index_should_import_file(tmp_path):
+    """IndexInfoTest.java:61-70: only an existing, readable, non-dir
+    file triggers the standalone index import."""
+    from batch_import_spark.config import IndexInfo
+
+    assert not IndexInfo("node_index", "name", "exact", None).should_import_file()
+    assert not IndexInfo("node_index", "name", "exact", str(tmp_path)).should_import_file()
+    missing = str(tmp_path / "node_index.csv")
+    assert not IndexInfo("node_index", "name", "exact", missing).should_import_file()
+    (tmp_path / "node_index.csv").write_bytes(b"\0")
+    assert IndexInfo("node_index", "name", "exact", missing).should_import_file()

@@ -39,6 +39,23 @@ def test_import_simple_node(spark, tmp_path):
     assert rows[0]["a"] == "foo" and rows[0]["b"] == "bar"
 
 
+def test_blank_line_skipped_documented_divergence(spark, tmp_path):
+    """DIVERGENCE (deliberate, documented): the reference STOPS the
+    entire import at the first blank line — AbstractLineData.java:70-73
+    (``processLine`` = ``parse() > 0``) with an all-null row returns 0
+    and ends the ``while (data.processLine(null))`` loop
+    (Importer.java:96), silently truncating the rest of the file. At
+    100 TB silent truncation is a data-loss hazard, so this engine
+    skips blank lines and imports everything else, keeping ids dense
+    over the surviving rows."""
+    res = _nodes(spark, tmp_path, "a\tb\nfoo\tbar\n\nbaz\tqux\n")
+    rows = sorted(res.nodes.collect(), key=lambda r: r["node_id"])
+    assert [(r["node_id"], r["a"], r["b"]) for r in rows] == [
+        (0, "foo", "bar"),
+        (1, "baz", "qux"),
+    ]
+
+
 def test_import_hashes_row_identity(spark, tmp_path):
     """ImporterTest.java:65-72 — every row creates a node, even dupes:
     row identity, not value identity."""
