@@ -76,7 +76,7 @@ def _resume(args) -> int:
 
 
 def _import_csv(args) -> int:
-    from batch_import_spark.config import load_config
+    from batch_import_spark.config import load_config, to_files
     from batch_import_spark.operators.graph_import import (
         import_index,
         import_nodes,
@@ -92,9 +92,11 @@ def _import_csv(args) -> int:
     sink = GraphSink(spark, args.out, fmt=args.format)
     mode = "append" if cfg.keep_db else "overwrite"
 
+    # Config.toFiles discipline (drop empties/"null"/missing local paths)
+    nodes_files = to_files(",".join(cfg.nodes_files)) or cfg.nodes_files
     nodes = import_nodes(
         read_reference_csv(
-            spark, cfg.nodes_files, delim=cfg.delim, quotes=cfg.quotes,
+            spark, nodes_files, delim=cfg.delim, quotes=cfg.quotes,
             array_separator=cfg.array_separator,
         )
     )
@@ -109,9 +111,10 @@ def _import_csv(args) -> int:
     sink.write(index_entries, "index_entries", mode=mode)
 
     if cfg.rels_files:
+        rels_files = to_files(",".join(cfg.rels_files)) or cfg.rels_files
         rels = import_relationships(
             read_reference_csv(
-                spark, cfg.rels_files, delim=cfg.delim, quotes=cfg.quotes,
+                spark, rels_files, delim=cfg.delim, quotes=cfg.quotes,
                 array_separator=cfg.array_separator,
             ),
             sink.read("index_entries"),

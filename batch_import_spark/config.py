@@ -83,6 +83,25 @@ class ImportConfig:
     raw: dict[str, str] = field(default_factory=dict)
 
 
+def to_files(spec: str) -> list[str]:
+    """Config.toFiles semantics (ConfigTest.java:54-59): split a
+    comma-separated list, drop empties and the literal ``null``, and
+    drop LOCAL paths that do not exist. Non-local URIs (hdfs://,
+    s3a://, ...) pass through — existence there is the cluster
+    filesystem's call, not the driver's."""
+    import os
+
+    out: list[str] = []
+    for p in (spec or "").split(","):
+        p = p.strip()
+        if not p or p == "null":
+            continue
+        if "://" not in p and not os.path.exists(p):
+            continue
+        out.append(p)
+    return out
+
+
 def parse_properties(text: str) -> dict[str, str]:
     """Minimal java-properties parser (key=value, # / ! comments)."""
     out: dict[str, str] = {}

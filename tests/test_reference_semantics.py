@@ -39,6 +39,35 @@ def test_import_simple_node(spark, tmp_path):
     assert rows[0]["a"] == "foo" and rows[0]["b"] == "bar"
 
 
+def test_label_named_header_is_plain_property(spark, tmp_path):
+    """AbstractLineDataTest.java:18-24: a column merely NAMED 'label'
+    (no :label type) is an ordinary string property, not a label."""
+    res = _nodes(spark, tmp_path, "label\nfoo\n")
+    row = res.nodes.collect()[0]
+    assert row["label"] == "foo" and row["labels"] is None
+
+
+def test_id_typed_column_is_not_a_property(spark, tmp_path):
+    """AbstractLineDataTest.java:27-34: an id:id column becomes the
+    node id and is excluded from the property map."""
+    res = _nodes(spark, tmp_path, "id:id\tname\n123\tbob\n")
+    row = res.nodes.collect()[0]
+    assert row["node_id"] == 123 and row["name"] == "bob"
+    assert "id" not in res.nodes.columns
+
+
+def test_to_files_filters_null_empty_missing(tmp_path):
+    """ConfigTest.java:54-59 toFiles: drop '', 'null', and missing
+    local paths; keep existing files and non-local URIs."""
+    from batch_import_spark.config import to_files
+
+    real = tmp_path / "nodes.csv"
+    real.write_text("a\n1\n")
+    got = to_files(f"null,,foo,{real}")
+    assert got == [str(real)]
+    assert to_files("hdfs://nn/data/x.csv,null") == ["hdfs://nn/data/x.csv"]
+
+
 def test_blank_line_skipped_documented_divergence(spark, tmp_path):
     """DIVERGENCE (deliberate, documented): the reference STOPS the
     entire import at the first blank line — AbstractLineData.java:70-73
