@@ -988,6 +988,35 @@ def _corpus_curation(spark, sf):
     )
 
 
+def _asof_last_click(spark, sf):
+    """As-of join: each purchase event gets the user's most recent
+    click at-or-before it (LEFT semantics: purchases with no prior
+    click keep NULL). One shuffle on user_id — no range-join blowup;
+    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from batch_import_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, by=["user_id"], ts="ts",
+        value_cols=["click_id"], right_order="click_id",
+    )
+    return out.select("purchase_id", "user_id", "click_id")
+
+
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def _corpus_curation_oracle_sql() -> str:
     from batch_import_spark.functions.text import LANG_STOPWORDS
 
@@ -1167,37 +1196,42 @@ def _ivf_ann_oracle_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
     """Replicates the IVF path in DuckDB: same deterministic seed
     centroids (unit vectors of the n_cells lowest ids), same
     argmax-dot assignment with the same tie-break (max dot, then min
-    cell), same n_probe routing, same exact re-rank."""
+    cell — assignment on RAW vectors against unit centroids, the
+    scale-invariant form the Spark operator uses), same n_probe
+    routing, same exact re-rank via dot(q,c)/(|q|·|c|)."""
     return f"""
 WITH c AS (
-  SELECT vec_id,
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
          CASE WHEN sqrt(list_dot_product(e, e)) > 0
               THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
               ELSE e END AS v
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-),
-cent AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
   FROM c ORDER BY vec_id LIMIT {n_cells}
 ),
 assign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT c.vec_id, c.v, cent.cell,
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, cent.cell,
            row_number() OVER (PARTITION BY c.vec_id
-             ORDER BY list_dot_product(c.v, cent.v) DESC, cent.cell ASC) AS rn
+             ORDER BY list_dot_product(c.e, cent.v) DESC, cent.cell ASC) AS rn
     FROM c CROSS JOIN cent
   ) WHERE rn = 1
 ),
 probe AS (
-  SELECT query_id, qv, cell FROM (
-    SELECT q.vec_id AS query_id, q.v AS qv, cent.cell,
+  SELECT query_id, qe, cell FROM (
+    SELECT q.vec_id AS query_id, q.e AS qe, cent.cell,
            row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY list_dot_product(q.v, cent.v) DESC, cent.cell ASC) AS rn
+             ORDER BY list_dot_product(q.e, cent.v) DESC, cent.cell ASC) AS rn
     FROM c q CROSS JOIN cent WHERE q.vec_id < 5
   ) WHERE rn <= {n_probe}
 ),
 scored AS (
-  SELECT p.query_id, a.vec_id, ROUND(list_dot_product(p.qv, a.v), 6) AS cosine
+  SELECT p.query_id, a.vec_id,
+         ROUND(CASE WHEN sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.e, a.e)) > 0
+                    THEN list_dot_product(p.qe, a.e)
+                         / (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(a.e, a.e)))
+                    ELSE 0.0 END, 6) AS cosine
   FROM probe p JOIN assign a ON a.cell = p.cell
 ),
 ranked AS (

@@ -192,22 +192,47 @@ def lsh_ann_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def _cents_lit(centroids: list[list[float]]) -> Column:
+    """The centroid matrix as ONE Literal node (array<array<double>>).
+
+    A single plan constant: the 1000+ doubles are DATA — one AST
+    node for the analyzer/optimizer/AQE to walk, one constant object
+    in codegen. (The earlier variants — n_cells separate expression
+    trees, or a parsed SQL literal of 1000+ nodes — cost seconds of
+    DRIVER time per run just re-walking the tree.)
+    """
+    return F.lit([[float(x) for x in cent] for cent in centroids])
+
+
+def _cell_scores(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_i) per cell — one HOF pass."""
+    vec = F.col(vec_col)
+    return F.transform(
+        _cents_lit(centroids),
+        lambda cv: F.aggregate(
+            F.zip_with(vec, cv, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        ),
+    )
+
+
+def _nearest_cell(vec_col: str, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id by max dot product (ties → lowest cell id).
 
-    Centroids are inlined as array literals — they are tiny by design
-    (IVF keeps n_cells ≲ √N), so assignment is a pure codegen
-    expression: no join, no shuffle, one corpus scan.
+    No join, no shuffle — one higher-order expression per row over
+    the constant centroid matrix (IVF keeps n_cells ≲ √N by design).
     """
+    vec = F.col(vec_col)
     best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    dot(vec, F.array(*[F.lit(float(x)) for x in cent])).alias("score"),
-                    F.lit(-i).alias("neg_cell"),
-                )
-                for i, cent in enumerate(centroids)
-            ]
+        F.transform(
+            _cents_lit(centroids),
+            lambda cv, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, cv, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("score"),
+                (-i).alias("neg_cell"),
+            ),
         )
     )
     return (-best["neg_cell"]).cast("int")
@@ -218,14 +243,24 @@ def ivf_seed_centroids(
 ) -> list[list[float]]:
     """Deterministic coarse-quantizer seeds: the unit-normalized
     vectors of the ``n_cells`` lowest ids (k-means-style init without
-    RNG state, so any engine can reproduce the cells)."""
+    RNG state, so any engine can reproduce the cells). Raw vectors
+    are collected and normalized driver-side — Python's sequential
+    ``sum`` is the same left-to-right IEEE accumulation as the
+    engines' dot products, so the centroids are bit-identical."""
+    import math as _math
+
     rows = (
-        corpus.select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("v"))
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
         .limit(n_cells)
         .collect()
     )
-    return [list(r.v) for r in rows]
+    out = []
+    for r in rows:
+        v = [float(x) for x in r.v]
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
 
 
 def ivf_refine_centroids(
@@ -245,11 +280,15 @@ def ivf_refine_centroids(
     """
     import math as _math
 
-    c = corpus.select(unit(F.col(vec_col)).alias("v"))
+    # assignment runs on RAW vectors: centroids are unit, so argmax-dot
+    # is invariant to each row's positive norm — and keeping unit() out
+    # of the assignment lambda avoids the optimizer inlining a
+    # per-element norm recomputation (measured 14x row cost)
+    c = corpus.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
-        assigned = c.withColumn("cell", _nearest_cell(F.col("v"), centroids))
+        assigned = c.withColumn("cell", _nearest_cell("v", centroids))
         comp = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            assigned.select("cell", F.posexplode(unit(F.col("v"))).alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("m"))
             .collect()
@@ -290,38 +329,32 @@ def ivf_ann_topk(
     ~N·n_probe/n_cells vectors per query instead of N, and the
     inverted lists can be written out partitioned by ``cell`` so
     repeated query batches prune partitions at the parquet scan.
+
+    Vectors stay RAW end-to-end: centroids are unit, so argmax-dot
+    assignment and probe routing are invariant to each row's positive
+    norm, and the exact re-rank computes cosine as
+    dot(q, c) / (|q|·|c|). Normalizing the corpus column instead
+    looks harmless but the optimizer inlines the per-element
+    norm recomputation into every HOF lambda reference — a measured
+    14× row-cost blowup.
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), unit(F.col(vec_col)).alias("c_vec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     if centroids is None:
         centroids = ivf_seed_centroids(corpus, n_cells, id_col, vec_col)
     if refine_iters:
         centroids = ivf_refine_centroids(
             corpus, centroids, refine_iters, id_col, vec_col
         )
-    assigned = c.withColumn("cell", _nearest_cell(F.col("c_vec"), centroids))
+    assigned = c.withColumn("cell", _nearest_cell("c_vec", centroids))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), unit(F.col(vec_col)).alias("q_vec")
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     probes = (
         q.select(
             "query_id",
             "q_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("cell"),
-                            dot(
-                                F.col("q_vec"),
-                                F.array(*[F.lit(float(x)) for x in cent]),
-                            ).alias("score"),
-                        )
-                        for i, cent in enumerate(centroids)
-                    ]
-                )
-            ).alias("cs"),
+            F.posexplode(_cell_scores("q_vec", centroids)).alias("cell", "score"),
         )
-        .select("query_id", "q_vec", F.col("cs.cell").alias("cell"), F.col("cs.score").alias("score"))
         .withColumn(
             "prank",
             F.row_number().over(
@@ -332,12 +365,16 @@ def ivf_ann_topk(
         )
         .where(F.col("prank") <= n_probe)
         .drop("score", "prank")
+        # probes are tiny by contract (Q × n_probe rows — the side that
+        # gets broadcast anyway); materializing them keeps the centroid
+        # constant out of the broadcast subplan that AQE re-optimizes
+        .localCheckpoint(eager=True)
     )
     # cells are disjoint and probes are distinct per query → no dedup needed
     cand = assigned.join(F.broadcast(probes), "cell").select(
         "query_id",
         "vec_id",
-        F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

@@ -85,6 +85,8 @@ def main() -> int:
         "minhash_near_dups",
         "simhash_near_dups",
         "ann_cosine_topk",
+        "ivf_ann_topk",
+        "corpus_curation",
         "spatial_bbox_lookup",
         "text_fingerprint",
         "kg_extract_canonicalize",
