@@ -1149,11 +1149,7 @@ def _lsh_ann_oracle_sql(dim: int = 64, num_tables: int = 6, num_planes: int = 8)
     )
     return f"""
 WITH c AS (
-  SELECT vec_id,
-         CASE WHEN sqrt(list_dot_product(e, e)) > 0
-              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
-              ELSE e END AS v
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cb AS (
 {cb_selects}
@@ -1164,7 +1160,11 @@ pairs AS (
     ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
 ),
 scored AS (
-  SELECT p.query_id, p.vec_id, ROUND(list_dot_product(q.v, c.v), 6) AS cosine
+  SELECT p.query_id, p.vec_id,
+         ROUND(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) > 0
+                    THEN list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                    ELSE 0.0 END, 6) AS cosine
   FROM pairs p
   JOIN c q ON p.query_id = q.vec_id
   JOIN c ON p.vec_id = c.vec_id
@@ -1307,11 +1307,7 @@ WITH raw AS (
   FROM embeddings WHERE vec_id < 15
 ),
 c AS (
-  SELECT id,
-         CASE WHEN sqrt(list_dot_product(e, e)) > 0
-              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
-              ELSE e END AS v
-  FROM raw
+  SELECT id, e AS v FROM raw
 ),
 cb AS (
 {cb_selects}
@@ -1321,7 +1317,11 @@ pairs AS (
   FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
 ),
 scored AS (
-  SELECT p.id_a, p.id_b, ROUND(list_dot_product(ca.v, cb2.v), 6) AS cosine
+  SELECT p.id_a, p.id_b,
+         ROUND(CASE WHEN sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(cb2.v, cb2.v)) > 0
+                    THEN list_dot_product(ca.v, cb2.v)
+                         / (sqrt(list_dot_product(ca.v, ca.v)) * sqrt(list_dot_product(cb2.v, cb2.v)))
+                    ELSE 0.0 END, 6) AS cosine
   FROM pairs p JOIN c ca ON p.id_a = ca.id JOIN c cb2 ON p.id_b = cb2.id
 )
 SELECT id_a, id_b, ROUND(cosine, 4) AS cos4 FROM scored WHERE cosine >= {threshold}

@@ -51,10 +51,13 @@ def cosine(a: Column, b: Column) -> Column:
 def unit(a: Column) -> Column:
     """Scale to unit L2 norm (zero vectors pass through).
 
-    Normalizing each side ONCE before a similarity join turns the
-    per-pair cosine into a bare dot product — at N×Q pairs this
-    roughly halves the join-side arithmetic (norms are O(N+Q), not
-    O(N·Q)).
+    CAUTION — do not feed the result into further HOF lambdas in the
+    same plan: the optimizer collapses projections and inlines the
+    per-element norm recomputation into every lambda reference (a
+    measured 14× row-cost blowup in the IVF path). The similarity
+    operators therefore keep vectors RAW and use ``cosine()``
+    (dot / |a|·|b|) or scale-invariant argmax/sign tests instead;
+    ``unit`` remains for single-pass uses (e.g. centroid means).
     """
     n = l2_norm(a)
     return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
@@ -75,14 +78,14 @@ def cosine_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), unit(F.col(vec_col)).alias("q_vec")
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), unit(F.col(vec_col)).alias("c_vec"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     scored = c.crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -117,13 +120,22 @@ def lsh_bucket(vec: Column, dim: int, table: int, num_planes: int = 12) -> Colum
     reproducible by any engine evaluating the same dot product (the
     DuckDB oracle inlines these constants; a float32 truncation here
     would diverge at sign boundaries).
+
+    The plane matrix is ONE Literal node (array<array<double>>) and
+    the bucket is a single HOF aggregate — num_planes separate
+    expression trees cost the analyzer/optimizer seconds of driver
+    time per query (same pathology as the IVF centroid constants).
     """
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = _hyperplane(dim, table, p)
-        proj = dot(vec, F.array(*[F.lit(float(c)) for c in plane]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    planes = F.lit([_hyperplane(dim, table, p) for p in range(num_planes)])
+    return F.aggregate(
+        F.transform(
+            planes,
+            lambda pl, i: F.when(dot(vec, pl) >= 0, F.pow(F.lit(2.0), i).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 # public alias: oracle-SQL generators need the same plane constants
@@ -142,10 +154,12 @@ def lsh_ann_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: union of exact re-ranked bucket collisions
-    over ``num_tables`` independent hyperplane tables."""
-    c = corpus.select(F.col(id_col).alias("vec_id"), unit(F.col(vec_col)).alias("c_vec"))
+    over ``num_tables`` independent hyperplane tables. Buckets hash
+    RAW vectors (the sign test is scale-invariant); re-rank uses
+    cosine = dot/(|q|·|c|)."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), unit(F.col(vec_col)).alias("q_vec")
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c_buckets = c.select(
         "vec_id",
@@ -183,7 +197,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -391,8 +405,10 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, cosine ≥ threshold) via LSH-bucketed self-join."""
-    c = corpus.select(F.col(id_col).alias("id"), unit(F.col(vec_col)).alias("v"))
+    """(id_a, id_b, cosine ≥ threshold) via LSH-bucketed self-join.
+    Buckets hash RAW vectors (sign test is scale-invariant); the
+    verify step computes cosine = dot/(|a|·|b|)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = c.select(
         "id",
         "v",
@@ -414,7 +430,7 @@ def embedding_near_duplicates(
         left.join(right, "tb")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", F.round(dot(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
