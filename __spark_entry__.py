@@ -1437,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann,
         "embed_near_dups": _embed_near_dups,
         "corpus_curation": _corpus_curation,
+        "asof_last_click": _asof_last_click,
         "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
@@ -1480,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "embed_near_dups": _embed_near_dups_oracle_sql(),
         "corpus_curation": _corpus_curation_oracle_sql(),
+        "asof_last_click": _ASOF_SQL,
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
     }

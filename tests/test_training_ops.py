@@ -266,6 +266,39 @@ def test_fingerprint_normalizes(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+# --- as-of join ---------------------------------------------------------------
+
+
+def test_asof_join_backward_semantics(spark):
+    """Hand-computed backward as-of: inclusive at equal ts, NULL when
+    no prior right row, tie among equal-ts right rows broken by
+    right_order (highest wins), keys don't leak across groups."""
+    from datetime import datetime
+
+    from batch_import_spark.operators.asof import asof_join
+
+    t = lambda s: datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u1", t(10), "L1"), ("u1", t(5), "L2"), ("u2", t(10), "L3"), ("u3", t(1), "L4")],
+        "user string, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t(5), 100),   # equal ts as L2 → inclusive match
+            ("u1", t(7), 101),
+            ("u2", t(10), 200),  # tie pair at same ts:
+            ("u2", t(10), 201),  # highest right_order (201) wins
+        ],
+        "user string, ts timestamp, rid int",
+    )
+    out = asof_join(
+        left, right, by=["user"], ts="ts", value_cols=["rid"], right_order="rid"
+    )
+    got = {r["lbl"]: r["rid"] for r in out.collect()}
+    assert got == {"L1": 101, "L2": 100, "L3": 201, "L4": None}
+    assert out.count() == 4  # LEFT semantics: no row lost
+
+
 # --- multimodal --------------------------------------------------------------
 
 
