@@ -1017,6 +1017,48 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def _range_window_join(spark, sf):
+    """Range join: events bucketed into deterministic 90-minute promo
+    windows every 6 hours (bin-bucket equi-join, no nested-loop).
+    Windows with no events drop out (inner semantics, mirrored)."""
+    from batch_import_spark.operators.ranges import range_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "ts", "value")
+    base = 1704067200  # 2024-01-01T00:00:00Z — the events epoch
+    w = spark.range(100).select(
+        F.col("id").alias("window_id"),
+        # NTZ to match the events column (session tz is UTC)
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 21600)
+        .cast("timestamp_ntz")
+        .alias("start_ts"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 21600 + 5400)
+        .cast("timestamp_ntz")
+        .alias("end_ts"),
+    )
+    j = range_join(e, w, bin_seconds=3600)
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_d4f("value")).cast("decimal(18,4)").alias("sum_value"),
+    )
+
+
+_RANGE_SQL = f"""
+WITH w AS (
+  SELECT i AS window_id,
+         make_timestamp((1704067200 + i * 21600) * 1000000) AS start_ts,
+         make_timestamp((1704067200 + i * 21600 + 5400) * 1000000) AS end_ts
+  FROM generate_series(0, 99) AS t(i)
+),
+j AS (
+  SELECT w.window_id, e.value
+  FROM events e JOIN w ON e.ts BETWEEN w.start_ts AND w.end_ts
+)
+SELECT window_id, COUNT(*) AS n_events,
+       CAST(SUM({_D4F_SQL.format(c="value")}) AS DECIMAL(18,4)) AS sum_value
+FROM j GROUP BY window_id
+"""
+
+
 def _corpus_curation_oracle_sql() -> str:
     from batch_import_spark.functions.text import LANG_STOPWORDS
 
@@ -1438,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": _embed_near_dups,
         "corpus_curation": _corpus_curation,
         "asof_last_click": _asof_last_click,
+        "range_window_join": _range_window_join,
         "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
@@ -1482,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _embed_near_dups_oracle_sql(),
         "corpus_curation": _corpus_curation_oracle_sql(),
         "asof_last_click": _ASOF_SQL,
+        "range_window_join": _RANGE_SQL,
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -299,6 +299,39 @@ def test_asof_join_backward_semantics(spark):
     assert out.count() == 4  # LEFT semantics: no row lost
 
 
+# --- range join ---------------------------------------------------------------
+
+
+def test_range_join_semantics(spark):
+    """Inclusive at both ends, intervals spanning many bins still
+    match, overlapping intervals each match, extra_keys isolate
+    groups, non-covered points drop (inner)."""
+    from datetime import datetime
+
+    from batch_import_spark.operators.ranges import range_join
+
+    t = lambda h, m=0: datetime(2025, 1, 1, h, m)  # noqa: E731
+    pts = spark.createDataFrame(
+        [("a", t(1), "P1"), ("a", t(5), "P2"), ("a", t(23), "P3"), ("b", t(1), "P4")],
+        "k string, ts timestamp, p string",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("a", t(1), t(6), "I1"),    # spans 6 hourly bins; catches P1 (start==ts) & P2
+            ("a", t(4), t(5), "I2"),    # overlaps I1; catches P2 (end==ts)
+            ("b", t(0), t(2), "I3"),    # other key; catches P4 only
+        ],
+        "k string, start_ts timestamp, end_ts timestamp, i string",
+    )
+    got = {
+        (r["p"], r["i"])
+        for r in range_join(
+            pts, ivs, bin_seconds=3600, extra_keys=["k"]
+        ).collect()
+    }
+    assert got == {("P1", "I1"), ("P2", "I1"), ("P2", "I2"), ("P4", "I3")}
+
+
 # --- multimodal --------------------------------------------------------------
 
 
