@@ -87,6 +87,8 @@ def main() -> int:
         "ann_cosine_topk",
         "ivf_ann_topk",
         "corpus_curation",
+        "asof_last_click",
+        "range_window_join",
         "spatial_bbox_lookup",
         "text_fingerprint",
         "kg_extract_canonicalize",
