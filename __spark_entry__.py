@@ -1059,6 +1059,82 @@ FROM j GROUP BY window_id
 """
 
 
+def _kmv_distinct_users(spark, sf):
+    """KMV distinct-count sketch per event_type, plus the exact count
+    for error inspection — deterministic portable hash, so the whole
+    sketch is oracle-checkable (HLL isn't)."""
+    from batch_import_spark.operators.sketches import kmv_distinct
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sk = kmv_distinct(e, ["event_type"], "user_id", k=32)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "kmv_estimate", "n_kept", "n_exact"
+    )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+  FROM h
+),
+agg AS (
+  SELECT event_type,
+         MAX(CASE WHEN r = 32 THEN h END) AS kth,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE r <= 32 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(CASE WHEN kth IS NULL THEN n_kept
+                 ELSE FLOOR(31.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) END AS BIGINT) AS kmv_estimate,
+       n_kept, n_exact
+FROM agg a JOIN exact x ON a.event_type = x.event_type
+"""
+
+
+def _time_rollup(spark, sf):
+    """Hypertable-style multi-resolution time rollup: one pass emits
+    (event_type, day, hour), (event_type, day), and (event_type)
+    grains via ROLLUP — the batch form of a continuous aggregate.
+    Buckets are date_trunc'd BEFORE the aggregate so partial
+    aggregation (map-side combine) applies at every grain."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    base = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    ).where(F.col("ts") < "2024-01-08")
+    return base.rollup("event_type", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d4f("value")).cast("decimal(18,4)").alias("sum_value"),
+    )
+
+
+_TIME_ROLLUP_SQL = f"""
+SELECT event_type, day, hour, COUNT(*) AS n,
+       CAST(SUM({_D4F_SQL.format(c="value")}) AS DECIMAL(18,4)) AS sum_value
+FROM (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         date_trunc('hour', ts) AS hour, value
+  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+)
+GROUP BY ROLLUP (event_type, day, hour)
+"""
+
+
 def _corpus_curation_oracle_sql() -> str:
     from batch_import_spark.functions.text import LANG_STOPWORDS
 
@@ -1481,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _corpus_curation,
         "asof_last_click": _asof_last_click,
         "range_window_join": _range_window_join,
+        "kmv_distinct_users": _kmv_distinct_users,
+        "time_rollup": _time_rollup,
         "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
         "multimodal_features": _multimodal_features,
@@ -1526,6 +1604,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _corpus_curation_oracle_sql(),
         "asof_last_click": _ASOF_SQL,
         "range_window_join": _RANGE_SQL,
+        "kmv_distinct_users": _KMV_SQL,
+        "time_rollup": _TIME_ROLLUP_SQL,
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
     }

@@ -299,6 +299,24 @@ def test_asof_join_backward_semantics(spark):
     assert out.count() == 4  # LEFT semantics: no row lost
 
 
+# --- sketches -----------------------------------------------------------------
+
+
+def test_kmv_small_group_is_exact_and_large_is_close(spark):
+    """KMV: groups with < k distinct values report the exact count;
+    larger groups estimate within the expected ~1/sqrt(k) error."""
+    from batch_import_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", f"u{i}") for i in range(10)] * 3  # 10 distinct, repeated
+    rows += [("big", f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    got = {r["g"]: r for r in kmv_distinct(df, ["g"], "u", k=64).collect()}
+    assert got["small"]["kmv_estimate"] == 10 and got["small"]["n_kept"] == 10
+    est = got["big"]["kmv_estimate"]
+    assert got["big"]["n_kept"] == 64
+    assert abs(est - 2000) / 2000 < 0.5  # 1/sqrt(64)=12.5% expected; generous bound
+
+
 # --- range join ---------------------------------------------------------------
 
 
