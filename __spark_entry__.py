@@ -744,6 +744,65 @@ GROUP BY subj, pred, obj
 """
 
 
+def _kg_precision_recall(spark, sf):
+    """The north rule's acceptance metric as a driver query: run the
+    FULL pipeline (extract → link → canonicalize) over the planted
+    transcripts and score its triple set against the closed-form gold
+    derived directly from doc_id arithmetic. Any pipeline regression
+    shows up as P/R < 1 here (the oracle computes the same math over
+    two copies of the closed-form set, i.e. the expected perfect
+    score)."""
+    from batch_import_spark.operators.evaluate import evaluate_triples
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    predicted = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    h = _h60("doc_id")
+    gold = docs.select(
+        F.concat(F.lit("P"), (F.col("doc_id") % 40).cast("string")).alias("subj"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _PREDS]), (h % 5 + 1).cast("int")
+        ).alias("pred"),
+        F.when(
+            F.shiftright(h, 3) % 3 == 0,
+            F.concat(F.lit("P"), (F.shiftright(h, 8) % 40).cast("string")),
+        )
+        .when(
+            F.shiftright(h, 3) % 3 == 1,
+            F.concat(F.lit("O"), (F.shiftright(h, 8) % 12).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("Tool"), (F.shiftright(h, 8) % 8).cast("string"))
+        )
+        .alias("obj"),
+    )
+    return evaluate_triples(predicted, gold)
+
+
+_KG_PR_SQL = f"""
+WITH p AS (SELECT DISTINCT subj, pred, obj, 1 AS _p FROM ({_PLANT_SQL})),
+g AS (SELECT DISTINCT subj, pred, obj, 1 AS _g FROM ({_PLANT_SQL})),
+j AS (
+  SELECT p._p, g._g FROM p FULL OUTER JOIN g
+    ON p.subj = g.subj AND p.pred = g.pred AND p.obj = g.obj
+),
+a AS (
+  SELECT CAST(SUM(_p) AS BIGINT) AS n_pred,
+         CAST(SUM(_g) AS BIGINT) AS n_gold,
+         CAST(SUM(_p * _g) AS BIGINT) AS n_correct
+  FROM j
+)
+SELECT n_pred, n_gold, n_correct,
+       CASE WHEN n_pred > 0 THEN FLOOR(CAST(n_correct AS DOUBLE) / n_pred * 1e6) / 1e6 ELSE 0.0 END AS precision,
+       CASE WHEN n_gold > 0 THEN FLOOR(CAST(n_correct AS DOUBLE) / n_gold * 1e6) / 1e6 ELSE 0.0 END AS recall,
+       CASE WHEN n_pred + n_gold > 0 THEN FLOOR(CAST(2 * n_correct AS DOUBLE) / (n_pred + n_gold) * 1e6) / 1e6 ELSE 0.0 END AS f1
+FROM a
+"""
+
+
 def _stream_kg_windowed(spark, sf):
     """Structured-Streaming KG over a bounded replay of the planted
     transcripts: readStream(parquet) → pandas extraction → broadcast
@@ -1546,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
+        "kg_precision_recall": _kg_precision_recall,
         "stream_kg_windowed": _stream_kg_windowed,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
@@ -1593,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_regex": _EXTRACT_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
+        "kg_precision_recall": _KG_PR_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),

@@ -299,6 +299,29 @@ def test_asof_join_backward_semantics(spark):
     assert out.count() == 4  # LEFT semantics: no row lost
 
 
+# --- triple-set P/R -------------------------------------------------------------
+
+
+def test_evaluate_triples_prf(spark):
+    """Hand-computed P/R/F1: 3 predicted (1 wrong), 4 gold →
+    P=2/3, R=2/4, F1=2*2/7; duplicate rows must not inflate counts."""
+    from batch_import_spark.operators.evaluate import evaluate_triples
+
+    pred = spark.createDataFrame(
+        [("a", "uses", "x"), ("a", "uses", "x"), ("b", "uses", "y"), ("c", "uses", "z")],
+        "subj string, pred string, obj string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "uses", "x"), ("b", "uses", "y"), ("d", "uses", "w"), ("e", "uses", "v")],
+        "subj string, pred string, obj string",
+    )
+    row = evaluate_triples(pred, gold).collect()[0]
+    assert (row["n_pred"], row["n_gold"], row["n_correct"]) == (3, 4, 2)
+    assert row["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["recall"] == 0.5
+    assert row["f1"] == pytest.approx(4 / 7, abs=1e-6)
+
+
 # --- sketches -----------------------------------------------------------------
 
 
