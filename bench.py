@@ -89,6 +89,8 @@ def main() -> int:
         "corpus_curation",
         "asof_last_click",
         "range_window_join",
+        "kmv_distinct_users",
+        "time_rollup",
         "spatial_bbox_lookup",
         "text_fingerprint",
         "kg_extract_canonicalize",
