@@ -189,6 +189,23 @@ def test_quoted_values_embedded_delims(spark, tmp_path):
     assert row["b"] == "line1\nline2"
 
 
+def test_empty_cell_grid(spark, tmp_path):
+    """ChunkerRowDataTest.java:18-67 — leading/trailing/missing empty
+    cells all parse to NULL (no property), present cells keep their
+    values, short rows are null-padded to the header width."""
+    cases = [
+        ("\t2\t3", (None, "2", "3")),
+        ("\t2\t", (None, "2", None)),
+        ("1\t\t", ("1", None, None)),
+        ("1\t", ("1", None, None)),
+        ("1\t2", ("1", "2", None)),
+    ]
+    for i, (line, expect) in enumerate(cases):
+        res = _nodes(spark, tmp_path, f"a\tb\tc\n{line}\n", name=f"grid{i}.csv")
+        row = res.nodes.collect()[0]
+        assert (row["a"], row["b"], row["c"]) == expect, (line, row)
+
+
 def test_gzip_source(spark, tmp_path):
     """Importer.java:248-250 — .gz transparently decompressed."""
     p = tmp_path / "nodes.csv.gz"
