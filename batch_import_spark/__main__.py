@@ -76,7 +76,35 @@ def _resume(args) -> int:
 
 
 def _import_csv(args) -> int:
-    from batch_import_spark.config import load_config, to_files
+    from batch_import_spark.config import load_config
+
+    props = open(args.properties).read() if args.properties else ""
+    cfg = load_config(props, nodes_files=args.nodes, rels_files=args.rels)
+    return _run_csv_import(cfg, args.out, args.format)
+
+
+def _legacy(args) -> int:
+    """The reference's positional CLI (Importer.main, Config.java:36-47):
+    <graphdb-out> <nodes-files> [rels-files] [elementType indexName
+    indexType indexFile]..., with an optional leading batch.properties
+    path (Importer.java:41-46)."""
+    from batch_import_spark.config import load_config
+
+    argv = list(args.args)
+    props = ""
+    if argv and argv[0].endswith(".properties"):
+        props = open(argv.pop(0)).read()
+    if not argv:
+        raise SystemExit("legacy: <graphdb-out> [nodes-files] [rels-files] [quads...]")
+    out = argv.pop(0)
+    nodes = argv.pop(0) if argv and len(argv) % 4 != 0 else None
+    rels = argv.pop(0) if argv and len(argv) % 4 != 0 else None
+    cfg = load_config(props, nodes_files=nodes, rels_files=rels, index_args=argv)
+    return _run_csv_import(cfg, out, "auto")
+
+
+def _run_csv_import(cfg, out: str, fmt: str) -> int:
+    from batch_import_spark.config import to_files
     from batch_import_spark.operators.graph_import import (
         import_index,
         import_nodes,
@@ -86,10 +114,8 @@ def _import_csv(args) -> int:
     from batch_import_spark.sinks import GraphSink
     from batch_import_spark.sources.csv_source import read_reference_csv
 
-    props = open(args.properties).read() if args.properties else ""
-    cfg = load_config(props, nodes_files=args.nodes, rels_files=args.rels)
     spark = build_session(app_name="batch-import")
-    sink = GraphSink(spark, args.out, fmt=args.format)
+    sink = GraphSink(spark, out, fmt=fmt)
     mode = "append" if cfg.keep_db else "overwrite"
 
     # Config.toFiles discipline (drop empties/"null"/missing local paths)
@@ -122,7 +148,7 @@ def _import_csv(args) -> int:
         sink.write(rels.edges, "edges", mode=mode)
         sink.read("edges").count()
         print(f"import-csv: {rels.observation.get}")
-    print(f"import-csv: wrote {sink.read('nodes').count()} nodes to {args.out}")
+    print(f"import-csv: wrote {sink.read('nodes').count()} nodes to {out}")
     return 0
 
 
@@ -156,6 +182,13 @@ def main(argv: list[str] | None = None) -> int:
     ic.add_argument("--properties", default=None, help="batch.properties file")
     ic.add_argument("--format", choices=["auto", "parquet", "iceberg"], default="auto")
     ic.set_defaults(fn=_import_csv)
+
+    lg = sub.add_parser(
+        "legacy",
+        help="reference positional form: [batch.properties] <out> <nodes> [rels] [quads...]",
+    )
+    lg.add_argument("args", nargs="+")
+    lg.set_defaults(fn=_legacy)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -26,6 +26,34 @@ def test_import_csv_cli(spark, tmp_path, capsys):
     assert "n_skipped" in capsys.readouterr().out
 
 
+def test_legacy_positional_cli(spark, tmp_path):
+    """The reference's Importer.main positional form (Config.java:36-47
+    + ConfigTest.java:61-105): out, nodes, rels, then index
+    quadruples; a leading *.properties path is honored."""
+    nodes = tmp_path / "nodes.csv"
+    nodes.write_text("name:string:users\tage:int\na\t1\nb\t2\n")
+    rels = tmp_path / "rels.csv"
+    rels.write_text("name:string:users\tname:string:users\ttype\na\tb\tKNOWS\n")
+    idx = tmp_path / "users_extra.csv"
+    idx.write_text("id:id\tname:string:users\n0\talias_a\n")
+    props = tmp_path / "batch.properties"
+    props.write_text("batch_import.csv.quotes=true\n")
+    out = tmp_path / "graph_legacy"
+    rc = main(
+        [
+            "legacy", str(props), str(out), str(nodes), str(rels),
+            "node_index", "users", "exact", str(idx),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/nodes").count() == 2
+    edges = spark.read.parquet(f"{out}/edges").collect()
+    assert len(edges) == 1 and edges[0]["rel_type"] == "KNOWS"
+    # the quadruple's standalone index file is imported (A5)
+    entries = spark.read.parquet(f"{out}/index_entries")
+    assert entries.where(entries.key_value == "alias_a").count() == 1
+
+
 def test_kg_cli_roundtrip(spark, tmp_path):
     from batch_import_spark.sources.transcripts import generate_transcripts
 
