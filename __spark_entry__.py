@@ -152,6 +152,48 @@ LIMIT 10
 """
 
 
+def _q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: 6-table join chain (region filter → nation →
+    customer → orders → lineitem → supplier with the co-nation
+    condition). Exercises Catalyst join reordering + the broadcast
+    chain for the small dimensions."""
+    r = spark.read.parquet(f"{sf}/region.parquet").where(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    joined = (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            _d4f("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _d4f("l_discount"))
+        )
+        .cast("decimal(22,8)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_D4F_SQL.format(c="l_extendedprice")} * (CAST(1 AS DECIMAL(18,4)) - {_D4F_SQL.format(c="l_discount")})) AS DECIMAL(22,8)) AS revenue,
+       COUNT(*) AS n_items
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def _j1_index_lookup(spark, sf):
     """Broadcast dict left-join + skip counting (J1/P7 semantics)."""
     o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -1589,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine capability (aggregations/windows/sets/rollup/topk)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_revenue_topk": _q3_revenue_topk,
+        "q5_local_supplier_volume": _q5_local_supplier_volume,
         "w1_window_running": _w1_window_running,
         "topk_per_group": _topk_per_group,
         "set_ops": _set_ops,
@@ -1639,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _CC_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_revenue_topk": _Q3_SQL,
+        "q5_local_supplier_volume": _Q5_SQL,
         "w1_window_running": _W1_SQL,
         "topk_per_group": _TOPK_SQL,
         "set_ops": _SET_SQL,
