@@ -128,7 +128,9 @@ def _run_csv_import(cfg, out: str, fmt: str) -> int:
     )
     index_entries = nodes.index_entries
     for info in cfg.indexes.values():
-        if info.file:  # standalone index files (Importer.java:186-196)
+        # standalone index files — only existing, readable ones import
+        # (Importer.java:186-196 + IndexInfo.shouldImportFile)
+        if info.should_import_file():
             extra = import_index(
                 read_reference_csv(spark, [info.file], delim=cfg.delim, quotes=cfg.quotes)
             )

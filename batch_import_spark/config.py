@@ -153,5 +153,10 @@ def load_config(
                 cfg.indexes[name] = IndexInfo(etype, name, itype, ifile or None)
     for quad_start in range(0, len(index_args or []), 4):
         et, name, itype, file = (index_args or [])[quad_start : quad_start + 4]
+        # the reference passes "null"/"none" for index-without-file
+        # quadruples (Config.toFiles drops them; shouldImportFile is
+        # false for them) — normalize to no-file here
+        if file in ("null", "none", ""):
+            file = None
         cfg.indexes[name] = IndexInfo(et, name, itype, file)
     return cfg
