@@ -845,6 +845,44 @@ FROM a
 """
 
 
+def _kg_degree_stats(spark, sf):
+    """Graph QA over the pipeline's output: total-degree histogram of
+    the canonical graph (distinct-triple grain). Runs the REAL
+    pipeline; the oracle derives the same histogram from the
+    closed-form planted triple set, so any canonicalization drift
+    changes the histogram and fails the hash."""
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    outd = edges.groupBy(F.col("subj").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = edges.groupBy(F.col("obj").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    deg = (
+        outd.join(ind, "node", "full")
+        .fillna(0, ["out_deg", "in_deg"])
+        .select("node", (F.col("out_deg") + F.col("in_deg")).alias("total_deg"))
+    )
+    return deg.groupBy("total_deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_KG_DEGREE_SQL = f"""
+WITH triples AS (SELECT DISTINCT subj, pred, obj FROM ({_PLANT_SQL})),
+outd AS (SELECT subj AS node, COUNT(*) AS out_deg FROM triples GROUP BY subj),
+ind AS (SELECT obj AS node, COUNT(*) AS in_deg FROM triples GROUP BY obj),
+deg AS (
+  SELECT COALESCE(o.node, i.node) AS node,
+         COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS total_deg
+  FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+)
+SELECT total_deg, COUNT(*) AS n_nodes FROM deg GROUP BY total_deg
+"""
+
+
 def _stream_kg_windowed(spark, sf):
     """Structured-Streaming KG over a bounded replay of the planted
     transcripts: readStream(parquet) → pandas extraction → broadcast
@@ -1649,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_precision_recall": _kg_precision_recall,
+        "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
@@ -1698,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_precision_recall": _KG_PR_SQL,
+        "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
