@@ -120,6 +120,51 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, out_w int, out_h int, n_bytes_in int, resized binary"
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Resize plan: Arrow-batched kernel producing fixed-size thumbnails.
+
+    The real pixel decode is stubbed (no PIL in this container): the
+    deterministic fake treats the payload as a row-major byte image
+    and strided-subsamples it to (out_w × out_h) bytes — the
+    Spark-side contract (schema, batching, binary output column,
+    partition sizing) is real and tested; swap the kernel body for
+    PIL's ``Image.resize`` when codecs are present.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = out_w * out_h
+        for pdf in batches:
+            outs, sizes = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                sizes.append(len(b))
+                if not b:
+                    outs.append(bytes(size))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                idx = (np.arange(size) * len(arr)) // size
+                outs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_in": sizes,
+                    "resized": outs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame-sampling plan: one output row per sampled timestamp.
 

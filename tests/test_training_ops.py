@@ -384,6 +384,21 @@ def test_multimodal_features_deterministic(spark):
     assert all(len(v[1]) == 16 for v in f1.values())
 
 
+def test_resize_media_shape_and_determinism(spark):
+    """resize_media: every row yields exactly out_w*out_h bytes,
+    deterministic strided subsample of the payload (first byte kept)."""
+    from batch_import_spark.functions.multimodal import resize_media
+
+    media = synthesize_media(spark, n=12)
+    rows = {r["media_id"]: r for r in resize_media(media, 8, 4).collect()}
+    assert len(rows) == 12
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in rows.items():
+        assert len(r["resized"]) == 32 and (r["out_w"], r["out_h"]) == (8, 4)
+        assert r["n_bytes_in"] == len(src[mid])
+        assert r["resized"][0] == src[mid][0]
+
+
 def test_multimodal_strict_raises(spark):
     media = synthesize_media(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
