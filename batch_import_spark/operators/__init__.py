@@ -5,3 +5,19 @@ from batch_import_spark.operators.linking import (  # noqa: F401
     resolve_endpoints,
 )
 from batch_import_spark.operators.canonicalize import connected_components  # noqa: F401
+from batch_import_spark.operators.asof import asof_join  # noqa: F401
+from batch_import_spark.operators.ranges import range_join  # noqa: F401
+from batch_import_spark.operators.sketches import kmv_distinct, portable_hash60  # noqa: F401
+from batch_import_spark.operators.evaluate import evaluate_triples  # noqa: F401
+from batch_import_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from batch_import_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
