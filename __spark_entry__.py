@@ -75,17 +75,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- SQL-expressible operator queries ---------------------------------------
 
 
-# Tie-free double → decimal(18,4) leaf transform: FLOOR at 1e-4 kills
-# the half-way values whose double→decimal rounding differs between
-# Spark (HALF_UP) and DuckDB; FLOOR of the identical IEEE product is
-# engine-independent. Downstream decimal arithmetic is then exact and
-# outputs keep full scale (no second rounding anywhere).
-def _d4f(c) -> F.Column:
+# Integer micro-units (1e-4): FLOOR of the identical IEEE product is
+# engine-independent, and BIGINT sums cannot diverge in scale, rounding
+# mode, or rendering the way decimal sums can (round-2 hash-mismatch
+# class). Sums/windows over money columns carry these end-to-end; no
+# divide back to a fractional type anywhere in a hashed output. Also
+# several times faster than decimal aggregation (no 128-bit math).
+def _u4(c) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c
-    return (F.floor(col * 10000) / 10000).cast("decimal(18,4)")
+    return F.floor(col * 10000)  # LongType in Spark
 
 
-_D4F_SQL = "CAST(FLOOR({c} * 10000) / 10000 AS DECIMAL(18,4))"
+_U4_SQL = "CAST(FLOOR({c} * 10000) AS BIGINT)"
+
+# Per-row discounted price in micro-units: ep_u4 * (1e4 - disc_u4) is an
+# exact integer at 1e-8 scale; integer-divide by 1e4 keeps rows (and the
+# BIGINT sum) comfortably inside 64 bits even at sf1000. Both operands
+# are non-negative, so Spark `DIV` (truncate) == DuckDB `//` (floor).
+_DISC_U4_EXPR = (
+    "(FLOOR({ep} * 10000) * (10000 - FLOOR({disc} * 10000))) DIV 10000"
+)
+_DISC_U4_SQL = (
+    "(CAST(FLOOR({ep} * 10000) AS BIGINT)"
+    " * (10000 - CAST(FLOOR({disc} * 10000) AS BIGINT))) // 10000"
+)
 
 
 def _q1_pricing_summary(spark, sf):
@@ -94,13 +107,11 @@ def _q1_pricing_summary(spark, sf):
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_d4f("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
-            F.sum(_d4f("l_extendedprice")).cast("decimal(18,4)").alias("sum_base_price"),
+            F.sum(_u4("l_quantity")).alias("sum_qty_u4"),
+            F.sum(_u4("l_extendedprice")).alias("sum_base_price_u4"),
             F.sum(
-                _d4f("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _d4f("l_discount"))
-            )
-            .cast("decimal(22,8)")
-            .alias("sum_disc_price"),
+                F.expr(_DISC_U4_EXPR.format(ep="l_extendedprice", disc="l_discount"))
+            ).alias("sum_disc_price_u4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -108,9 +119,9 @@ def _q1_pricing_summary(spark, sf):
 
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM({_D4F_SQL.format(c="l_quantity")}) AS DECIMAL(18,4)) AS sum_qty,
-       CAST(SUM({_D4F_SQL.format(c="l_extendedprice")}) AS DECIMAL(18,4)) AS sum_base_price,
-       CAST(SUM({_D4F_SQL.format(c="l_extendedprice")} * (CAST(1 AS DECIMAL(18,4)) - {_D4F_SQL.format(c="l_discount")})) AS DECIMAL(22,8)) AS sum_disc_price,
+       CAST(SUM({_U4_SQL.format(c="l_quantity")}) AS BIGINT) AS sum_qty_u4,
+       CAST(SUM({_U4_SQL.format(c="l_extendedprice")}) AS BIGINT) AS sum_base_price_u4,
+       CAST(SUM({_DISC_U4_SQL.format(ep="l_extendedprice", disc="l_discount")}) AS BIGINT) AS sum_disc_price_u4,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -172,17 +183,15 @@ def _q5_local_supplier_volume(spark, sf):
     )
     return joined.groupBy("n_name").agg(
         F.sum(
-            _d4f("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _d4f("l_discount"))
-        )
-        .cast("decimal(22,8)")
-        .alias("revenue"),
+            F.expr(_DISC_U4_EXPR.format(ep="l_extendedprice", disc="l_discount"))
+        ).alias("revenue_u4"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 _Q5_SQL = f"""
 SELECT n_name,
-       CAST(SUM({_D4F_SQL.format(c="l_extendedprice")} * (CAST(1 AS DECIMAL(18,4)) - {_D4F_SQL.format(c="l_discount")})) AS DECIMAL(22,8)) AS revenue,
+       CAST(SUM({_DISC_U4_SQL.format(ep="l_extendedprice", disc="l_discount")}) AS BIGINT) AS revenue_u4,
        COUNT(*) AS n_items
 FROM region JOIN nation ON r_regionkey = n_regionkey
             JOIN customer ON n_nationkey = c_nationkey
@@ -360,13 +369,13 @@ def _g1_counts(spark, sf):
     e = spark.read.parquet(f"{sf}/events.parquet")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_d4f("value")).cast("decimal(18,4)").alias("total_value"),
+        F.sum(_u4("value")).alias("total_value_u4"),
     )
 
 
 _G1_SQL = f"""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM({_D4F_SQL.format(c="value")}) AS DECIMAL(18,4)) AS total_value
+       CAST(SUM({_U4_SQL.format(c="value")}) AS BIGINT) AS total_value_u4
 FROM events GROUP BY event_type
 """
 
@@ -379,18 +388,17 @@ def _w1_window_running(spark, sf):
     return e.select(
         "event_id",
         "user_id",
-        F.sum(_d4f("value"))
+        F.sum(_u4("value"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(18,4)")
-        .alias("running_value"),
-        F.lag(_d4f("value"), 1).over(w).cast("decimal(18,4)").alias("prev_value"),
+        .alias("running_value_u4"),
+        F.lag(_u4("value"), 1).over(w).alias("prev_value_u4"),
     )
 
 
 _W1_SQL = f"""
 SELECT event_id, user_id,
-       CAST(SUM({_D4F_SQL.format(c="value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS running_value,
-       CAST(LAG({_D4F_SQL.format(c="value")}, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(18,4)) AS prev_value
+       CAST(SUM({_U4_SQL.format(c="value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value_u4,
+       LAG({_U4_SQL.format(c="value")}, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_u4
 FROM events WHERE user_id < 20
 """
 
@@ -1177,7 +1185,7 @@ def _range_window_join(spark, sf):
     j = range_join(e, w, bin_seconds=3600)
     return j.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(_d4f("value")).cast("decimal(18,4)").alias("sum_value"),
+        F.sum(_u4("value")).alias("sum_value_u4"),
     )
 
 
@@ -1193,7 +1201,7 @@ j AS (
   FROM events e JOIN w ON e.ts BETWEEN w.start_ts AND w.end_ts
 )
 SELECT window_id, COUNT(*) AS n_events,
-       CAST(SUM({_D4F_SQL.format(c="value")}) AS DECIMAL(18,4)) AS sum_value
+       CAST(SUM({_U4_SQL.format(c="value")}) AS BIGINT) AS sum_value_u4
 FROM j GROUP BY window_id
 """
 
@@ -1257,13 +1265,13 @@ def _time_rollup(spark, sf):
     ).where(F.col("ts") < "2024-01-08")
     return base.rollup("event_type", "day", "hour").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_d4f("value")).cast("decimal(18,4)").alias("sum_value"),
+        F.sum(_u4("value")).alias("sum_value_u4"),
     )
 
 
 _TIME_ROLLUP_SQL = f"""
 SELECT event_type, day, hour, COUNT(*) AS n,
-       CAST(SUM({_D4F_SQL.format(c="value")}) AS DECIMAL(18,4)) AS sum_value
+       CAST(SUM({_U4_SQL.format(c="value")}) AS BIGINT) AS sum_value_u4
 FROM (
   SELECT event_type,
          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

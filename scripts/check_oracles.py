@@ -5,7 +5,7 @@ Runs every ``__spark_entry__.queries()`` entry and compares against
 names, and order-insensitive value multiset (exact equality; floats
 compared to 1e-9 after both engines' own rounding).
 
-Usage: PYTHONPATH=/root/repo python scripts/check_oracles.py [sf_dir]
+Usage: PYTHONPATH=/root/repo python scripts/check_oracles.py [sf_dir] [q1,q2,...]
 """
 
 from __future__ import annotations
@@ -62,7 +62,7 @@ def compare(name, spark_df, duck_rows, duck_cols) -> list[str]:
     return problems
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import __spark_entry__ as entry_mod
     from batch_import_spark.session import build_session
 
@@ -77,6 +77,8 @@ def main(sf_dir: str) -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -102,4 +104,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+            set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )
