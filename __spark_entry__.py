@@ -314,6 +314,54 @@ SELECT 'customers', 'c_mktsegment', c_mktsegment, c_custkey FROM customer
 """
 
 
+def _a4_rel_index_explode(spark, sf):
+    """Relationship-side inline index population (Importer.java:154-157)
+    through the REAL import_relationships operator: a rel table derived
+    from lineitem (start = literal id, end resolved through an exact
+    index that deliberately omits every p_partkey % 7 == 0, so those
+    rels skip and consume no rel id), returning the emitted
+    relationship-index entries keyed by the dense creation-order rel id."""
+    from batch_import_spark.operators.graph_import import import_relationships
+    from batch_import_spark.schema import parse_header
+    from batch_import_spark.sources.csv_source import ReferenceCsv
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") < 200)
+    rel_df = li.select(
+        F.col("l_orderkey").cast("string").alias("src"),
+        F.col("l_partkey").cast("string").alias("end"),
+        F.col("l_returnflag").alias("type"),
+        F.col("l_linestatus").alias("since"),
+        F.lit(0).alias("file_seq"),
+        # unique, deterministic input-line order (l_linenumber is 1..7)
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_no"),
+    )
+    header = parse_header(["src", "end:string:parts", "type", "since:string:shipidx"])
+    p = spark.read.parquet(f"{sf}/part.parquet").where(F.col("p_partkey") % 7 != 0)
+    index_entries = p.select(
+        F.lit("parts").alias("index_name"),
+        F.lit("end").alias("key_prop"),
+        F.col("p_partkey").cast("string").alias("key_value"),
+        F.col("p_partkey").cast("long").alias("node_id"),
+    )
+    rels = import_relationships(ReferenceCsv(df=rel_df, header=header), index_entries)
+    return rels.index_entries
+
+
+_A4_REL_SQL = """
+WITH r AS (
+  SELECT l_partkey AS dst, l_linestatus AS since,
+         l_orderkey * 10 + l_linenumber AS line_no
+  FROM lineitem WHERE l_orderkey < 200
+),
+kept AS (
+  SELECT since, ROW_NUMBER() OVER (ORDER BY line_no) - 1 AS rel_id
+  FROM r WHERE dst % 7 <> 0
+)
+SELECT 'shipidx' AS index_name, 'since' AS key_prop, since AS key_value, rel_id
+FROM kept WHERE since IS NOT NULL
+"""
+
+
 def _p1_typed_cast(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return li.where(F.col("l_orderkey") < 50).select(
@@ -1672,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_edge_normalize": _o2_edge_normalize,
         "a2_dense_ids": _a2_dense_ids,
         "a4_index_explode": _a4_index_explode,
+        "a4_rel_index": _a4_rel_index_explode,
         "g1_counts": _g1_counts,
         "cc_components": _cc_components,
         # engine capability (aggregations/windows/sets/rollup/topk)
@@ -1725,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "o2_edge_normalize": _O2_SQL,
         "a2_dense_ids": _A2_SQL,
         "a4_index_explode": _A4_SQL,
+        "a4_rel_index": _A4_REL_SQL,
         "g1_counts": _G1_SQL,
         "cc_components": _CC_SQL,
         "q1_pricing_summary": _Q1_SQL,

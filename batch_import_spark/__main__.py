@@ -106,6 +106,8 @@ def _legacy(args) -> int:
 def _run_csv_import(cfg, out: str, fmt: str) -> int:
     from batch_import_spark.config import to_files
     from batch_import_spark.operators.graph_import import (
+        INDEX_SCHEMA,
+        REL_INDEX_SCHEMA,
         import_index,
         import_nodes,
         import_relationships,
@@ -118,28 +120,42 @@ def _run_csv_import(cfg, out: str, fmt: str) -> int:
     sink = GraphSink(spark, out, fmt=fmt)
     mode = "append" if cfg.keep_db else "overwrite"
 
-    # Config.toFiles discipline (drop empties/"null"/missing local paths)
-    nodes_files = to_files(",".join(cfg.nodes_files)) or cfg.nodes_files
-    nodes = import_nodes(
-        read_reference_csv(
-            spark, nodes_files, delim=cfg.delim, quotes=cfg.quotes,
-            array_separator=cfg.array_separator,
+    # Config.toFiles discipline (drop empties/"null"/missing local
+    # paths). An empty post-filter list means "nothing to import" for
+    # that stage — the reference skips the stage (Importer.doImport),
+    # it does not fail. No fallback to the unfiltered list: that would
+    # reintroduce exactly the paths toFiles dropped.
+    nodes_files = to_files(",".join(cfg.nodes_files)) if cfg.nodes_files else []
+    nodes = None
+    index_entries = spark.createDataFrame([], INDEX_SCHEMA)
+    if nodes_files:
+        nodes = import_nodes(
+            read_reference_csv(
+                spark, nodes_files, delim=cfg.delim, quotes=cfg.quotes,
+                array_separator=cfg.array_separator,
+            )
         )
-    )
-    index_entries = nodes.index_entries
+        index_entries = nodes.index_entries
+        sink.write(nodes.nodes, "nodes", mode=mode)
+    rel_index_entries = spark.createDataFrame([], REL_INDEX_SCHEMA)
     for info in cfg.indexes.values():
         # standalone index files — only existing, readable ones import
-        # (Importer.java:186-196 + IndexInfo.shouldImportFile)
+        # (Importer.java:186-196 + IndexInfo.shouldImportFile); column 0
+        # is the entity id, node or relationship per the element type
         if info.should_import_file():
             extra = import_index(
                 read_reference_csv(spark, [info.file], delim=cfg.delim, quotes=cfg.quotes)
             )
-            index_entries = index_entries.unionByName(extra)
-    sink.write(nodes.nodes, "nodes", mode=mode)
+            if info.is_node_index:
+                index_entries = index_entries.unionByName(extra)
+            else:
+                rel_index_entries = rel_index_entries.unionByName(
+                    extra.withColumnRenamed("node_id", "rel_id")
+                )
     sink.write(index_entries, "index_entries", mode=mode)
 
-    if cfg.rels_files:
-        rels_files = to_files(",".join(cfg.rels_files)) or cfg.rels_files
+    rels_files = to_files(",".join(cfg.rels_files)) if cfg.rels_files else []
+    if rels_files:
         rels = import_relationships(
             read_reference_csv(
                 spark, rels_files, delim=cfg.delim, quotes=cfg.quotes,
@@ -148,9 +164,14 @@ def _run_csv_import(cfg, out: str, fmt: str) -> int:
             sink.read("index_entries"),
         )
         sink.write(rels.edges, "edges", mode=mode)
+        rel_index_entries = rel_index_entries.unionByName(rels.index_entries)
         sink.read("edges").count()
         print(f"import-csv: {rels.observation.get}")
-    print(f"import-csv: wrote {sink.read('nodes').count()} nodes to {out}")
+    sink.write(rel_index_entries, "rel_index_entries", mode=mode)
+    if nodes is not None:
+        print(f"import-csv: wrote {sink.read('nodes').count()} nodes to {out}")
+    else:
+        print(f"import-csv: no node files; wrote index/rel stages to {out}")
     return 0
 
 

@@ -36,6 +36,7 @@ from batch_import_spark.operators.linking import build_unique_alias_dict
 from batch_import_spark.sources.csv_source import ReferenceCsv
 
 INDEX_SCHEMA = "index_name string, key_prop string, key_value string, node_id long"
+REL_INDEX_SCHEMA = "index_name string, key_prop string, key_value string, rel_id long"
 
 
 @dataclass
@@ -46,7 +47,8 @@ class ImportedNodes:
 
 @dataclass
 class ImportedRelationships:
-    edges: DataFrame  # src_id, dst_id, rel_type, <property columns>, line_no
+    edges: DataFrame  # rel_id, src_id, dst_id, rel_type, <property columns>, line_no
+    index_entries: DataFrame  # REL_INDEX_SCHEMA (inline relationship-index rows)
     observation: Observation  # n_input / n_resolved / n_skipped
 
 
@@ -158,16 +160,50 @@ def import_relationships(
             "n_skipped"
         ),
     )
-    edges = observed.where(
+    kept = observed.where(
         F.col("src_id").isNotNull() & F.col("dst_id").isNotNull()
     ).select(
         "src_id",
         "dst_id",
         rel_type.alias("rel_type"),
         *[F.col(h.col_name) for h in prop_fields],
+        "file_seq",
         "line_no",
     )
-    return ImportedRelationships(edges=edges, observation=obs)
+    # Rel ids: db.createRelationship returns the next sequential rel id
+    # (Importer.java:154) — 0-based creation order over the SURVIVING
+    # rows only (skipped rels never reach createRelationship, so they
+    # consume no id). Materialize once before the dense-id range
+    # shuffle: the range partitioner's sampling pass re-executes its
+    # child, which would double-count the Observation above.
+    kept = kept.localCheckpoint(eager=True)
+    edges = with_dense_id(kept, ["file_seq", "line_no"], id_col="rel_id").select(
+        "rel_id",
+        *[c for c in kept.columns if c != "file_seq"],
+    )
+
+    # Inline relationship-index population (Importer.java:155-157 via
+    # AbstractLineData.getIndexData:92-106): every indexed property
+    # column at offset>=3 with a non-null value adds
+    # (index_name, key_prop, key_value) under the new rel id.
+    idx_fields = [h for h in prop_fields if h.is_indexed]
+    parts = []
+    for h in idx_fields:
+        parts.append(
+            edges.where(F.col(h.col_name).isNotNull()).select(
+                F.lit(h.index_name).alias("index_name"),
+                F.lit(h.name).alias("key_prop"),
+                F.col(h.col_name).cast("string").alias("key_value"),
+                F.col("rel_id").alias("rel_id"),
+            )
+        )
+    if parts:
+        rel_idx = parts[0]
+        for p in parts[1:]:
+            rel_idx = rel_idx.unionByName(p)
+    else:
+        rel_idx = ref.df.sparkSession.createDataFrame([], REL_INDEX_SCHEMA)
+    return ImportedRelationships(edges=edges, index_entries=rel_idx, observation=obs)
 
 
 def import_index(ref: ReferenceCsv) -> DataFrame:
