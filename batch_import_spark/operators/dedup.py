@@ -159,6 +159,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs with exact Jaccard ≥ threshold.
 
@@ -172,6 +173,10 @@ def minhash_near_duplicates(
     Results are exact w.r.t. the threshold (LSH affects recall only
     through banding parameters). ``threshold`` must be > 0 (the
     verify join drops zero-intersection candidates by construction).
+    ``max_bucket_size`` enables the degenerate-band guard (see
+    operators.buckets): bands with more members are dropped — and
+    counted/logged — before the quadratic self-join; None (default)
+    keeps candidate generation lossless.
     """
     # explode + groupBy-min formulation: one flat codegen stage with
     # map-side partial mins, instead of num_hashes nested array lambdas
@@ -194,6 +199,10 @@ def minhash_near_duplicates(
     # num_bands× through the self-join multiplies shuffle volume by
     # the band count
     banded = base.select("id", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band"))
+    if max_bucket_size is not None:
+        from batch_import_spark.operators.buckets import cap_hot_buckets
+
+        banded, _ = cap_hot_buckets(banded, ["band"], max_bucket_size)
     cand = (
         banded.join(banded.select(F.col("band"), F.col("id").alias("id_b")), "band")
         .where(F.col("id") < F.col("id_b"))
@@ -359,6 +368,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     kernel: str = "expr",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -371,7 +381,11 @@ def simhash_near_duplicates(
     blocks ⇒ bigger buckets and more shuffle — the scale knob.
     ``kernel``: "expr" = 60-bit md5-based JVM expressions (default,
     oracle-reproducible); "pandas" = 64-bit FNV-1a vectorized-numpy
-    kernel (the Python-kernel demonstration path).
+    kernel (the Python-kernel demonstration path). ``max_bucket_size``
+    enables the degenerate-block guard (operators.buckets) — e.g. all
+    empty docs share signature 0 and land in every block bucket
+    together; capped blocks are dropped, counted, and logged, at the
+    documented cost of recall for members of the dropped blocks.
     """
     if kernel == "expr":
         sh = simhash_expr(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
@@ -405,6 +419,10 @@ def simhash_near_duplicates(
             )
         ).alias("blk"),
     )
+    if max_bucket_size is not None:
+        from batch_import_spark.operators.buckets import cap_hot_buckets
+
+        blocks, _ = cap_hot_buckets(blocks, ["blk"], max_bucket_size)
     left = blocks.select("blk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = blocks.select("blk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -404,10 +404,14 @@ def embedding_near_duplicates(
     num_planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine ≥ threshold) via LSH-bucketed self-join.
     Buckets hash RAW vectors (sign test is scale-invariant); the
-    verify step computes cosine = dot/(|a|·|b|)."""
+    verify step computes cosine = dot/(|a|·|b|). ``max_bucket_size``
+    enables the degenerate-bucket guard (operators.buckets): e.g.
+    zero/constant vectors all land in one bucket per table; over-cap
+    buckets are dropped, counted, and logged before the self-join."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = c.select(
         "id",
@@ -424,6 +428,10 @@ def embedding_near_duplicates(
             )
         ).alias("tb"),
     )
+    if max_bucket_size is not None:
+        from batch_import_spark.operators.buckets import cap_hot_buckets
+
+        buckets, _ = cap_hot_buckets(buckets, ["tb"], max_bucket_size)
     left = buckets.select("tb", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     right = buckets.select("tb", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
