@@ -984,9 +984,13 @@ def _stream_kg_windowed(spark, sf):
     )
 
 
-def _plant_from_docs(docs: DataFrame) -> DataFrame:
+def _plant_from_docs(docs: DataFrame, include_doc_text: bool = True) -> DataFrame:
     """The _planted_transcripts_full transform factored over an
-    arbitrary documents DataFrame (batch or streaming)."""
+    arbitrary documents DataFrame (batch or streaming).
+    ``include_doc_text=False`` keeps only the planted sentences, so
+    per-turn mention counts are closed-form integers (1 + ghost + amb)
+    with no regex over arbitrary corpus text — what the sessionization
+    oracle needs."""
     h = _h60("doc_id")
     k = (F.col("doc_id") % 40).cast("string")
     subj = F.when(
@@ -1026,10 +1030,11 @@ def _plant_from_docs(docs: DataFrame) -> DataFrame:
     s3 = F.when(F.shiftright(h, 22) % 10 < 2, F.lit("Amb manages Org3. ")).otherwise(
         F.lit("")
     )
+    body = F.concat(s1, s2, s3, F.col("text")) if include_doc_text else F.concat(s1, s2, s3)
     return docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
-        F.concat(s1, s2, s3, F.col("text")).alias("text"),
+        body.alias("text"),
         F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 60).alias("ts"),
     )
 
@@ -1041,6 +1046,106 @@ FROM (
   SELECT p.*, 1735689600 + p.doc_id * 60 AS ts_sec FROM ({_PLANT_SQL}) p
 )
 GROUP BY 1, 2, 3, 4
+"""
+
+
+def _stream_sessions(spark, sf):
+    """Stateful streaming sessionization (applyInPandasWithState,
+    streaming/sessions.py) over a bounded replay: the planted
+    transcripts (planted sentences only — closed-form mention counts)
+    land as one data file, then two far-future sentinel files advance
+    the event-time watermark and fire every real conversation's gap
+    timeout (the batch-N-watermark / batch-N+1-fire mechanics proven in
+    tests/test_streaming.py). All real turns arrive in one micro-batch,
+    so each conv_id closes as ONE session — the gap-SPLIT path is
+    pytest-covered (multi-batch arrival); this row drives state
+    create/merge/timeout/emit end-to-end against a batch SQL oracle."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_import_spark.streaming.sessions import conversation_sessions
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    t = _plant_from_docs(docs, include_doc_text=False)
+    pdf = t.toPandas()  # bounded: one row per document at test scale
+    max_us = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
+
+    def _table(conv_ids, turn_idxs, texts, ts_us):
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+            }
+        )
+
+    src = tempfile.mkdtemp(prefix="stream_sessions_")
+    pq.write_table(
+        _table(
+            list(pdf["conv_id"]),
+            [int(x) for x in pdf["turn_idx"]],
+            list(pdf["text"]),
+            list(pdf["ts"].astype("datetime64[us]").astype("int64")),
+        ),
+        os.path.join(src, "b1.parquet"),
+    )
+    # sentinel 1 advances the watermark past every real last_ts + gap;
+    # sentinel 2 is the batch in which those timeouts fire
+    s1_us = max_us + 3600 * 1_000_000
+    s2_us = s1_us + 3600 * 1_000_000
+    pq.write_table(
+        _table(["_sentinel"], [0], [""], [s1_us]), os.path.join(src, "b2.parquet")
+    )
+    pq.write_table(
+        _table(["_sentinel"], [1], [""], [s2_us]), os.path.join(src, "b3.parquet")
+    )
+    base_mt = os.path.getmtime(os.path.join(src, "b1.parquet"))
+    os.utime(os.path.join(src, "b2.parquet"), (base_mt + 10, base_mt + 10))
+    os.utime(os.path.join(src, "b3.parquet"), (base_mt + 20, base_mt + 20))
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        conversation_sessions(stream, gap="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_sessions_out")
+    return out.where(F.col("conv_id") != "_sentinel").select(
+        "conv_id",
+        "n_turns",
+        "n_mentions",
+        F.col("first_ts").cast("string").alias("first_ts"),
+        F.col("last_ts").cast("string").alias("last_ts"),
+    )
+
+
+_STREAM_SESSIONS_SQL = f"""
+WITH m AS (
+  SELECT source,
+         1735689600 + doc_id * 60 AS ts_sec,
+         1 + CASE WHEN (h >> 14) % 10 < 2 THEN 1 ELSE 0 END
+           + CASE WHEN (h >> 22) % 10 < 2 THEN 1 ELSE 0 END AS n_m
+  FROM (SELECT doc_id, source, {_H60_SQL} AS h FROM documents)
+)
+SELECT source AS conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(n_m) AS BIGINT) AS n_mentions,
+       CAST(make_timestamp(MIN(ts_sec) * 1000000) AS VARCHAR) AS first_ts,
+       CAST(make_timestamp(MAX(ts_sec) * 1000000) AS VARCHAR) AS last_ts
+FROM m GROUP BY source
 """
 
 
@@ -1746,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
+        "stream_sessions": _stream_sessions,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
         "ngram_jaccard": _ngram_jaccard,
@@ -1797,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
+        "stream_sessions": _STREAM_SESSIONS_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
         "ngram_jaccard": _NGRAM_SQL,

@@ -22,6 +22,8 @@ KG maintenance.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 SESSION_OUTPUT_SCHEMA = (
@@ -29,6 +31,35 @@ SESSION_OUTPUT_SCHEMA = (
     "first_ts timestamp, last_ts timestamp"
 )
 _STATE_SCHEMA = "n_turns bigint, n_mentions bigint, first_us bigint, last_us bigint"
+
+_GAP_RE = re.compile(
+    r"^\s*(\d+)\s*"
+    r"(ms|millis|milliseconds?|s|secs?|seconds?|m|mins?|minutes?"
+    r"|h|hrs?|hours?|d|days?)\s*$",
+    re.IGNORECASE,
+)
+_UNIT_MS = {
+    "ms": 1, "milli": 1, "millisecond": 1,
+    "s": 1000, "sec": 1000, "second": 1000,
+    "m": 60_000, "min": 60_000, "minute": 60_000,
+    "h": 3_600_000, "hr": 3_600_000, "hour": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000,
+}
+
+
+def _parse_gap_ms(gap: str) -> int:
+    """Parse a Spark-style duration ('30 minutes', '2 days', '90s')
+    to milliseconds, raising a clear error on anything else."""
+    m = _GAP_RE.match(gap)
+    if not m:
+        raise ValueError(
+            f"unsupported session gap {gap!r}; expected '<int> <unit>' with "
+            "unit one of ms/seconds/minutes/hours/days (abbreviations ok)"
+        )
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit != "ms" and len(unit) > 1 and unit.endswith("s"):
+        unit = unit[:-1]  # plural → singular ('seconds' → 'second')
+    return n * _UNIT_MS[unit]
 
 
 def conversation_sessions(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
@@ -44,9 +75,7 @@ def conversation_sessions(stream: DataFrame, gap: str = "30 minutes") -> DataFra
 
     from batch_import_spark.pipeline.extract import MENTION_RE
 
-    n, unit = gap.split()
-    gap_ms = int(n) * {"seconds": 1, "second": 1, "minutes": 60, "minute": 60,
-                       "hours": 3600, "hour": 3600}[unit] * 1000
+    gap_ms = _parse_gap_ms(gap)
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
