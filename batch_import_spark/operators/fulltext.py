@@ -30,15 +30,45 @@ def tokenize(col: Column | str) -> Column:
 
 
 def build_fulltext_postings(
-    index_entries: DataFrame, key_col: str = "key_value", id_col: str = "node_id"
+    index_entries: DataFrame,
+    key_col: str = "key_value",
+    id_col: str = "node_id",
+    min_df: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """index entries → (index_name, key_prop, token, node_id) postings."""
-    return index_entries.select(
+    """index entries → (index_name, key_prop, token, node_id) postings.
+
+    ``min_df`` / ``max_df`` bound each token's document frequency
+    (postings-list length per (index_name, key_prop, token)) — the
+    Lucene-style skew knob. At 100 TB the stopword tokens ARE the hot
+    shuffle keys of the lookup join: a token appearing in half the
+    corpus contributes a postings list that one reducer must join,
+    while discriminating almost nothing (its score contribution is
+    uniform). ``max_df`` prunes those lists at build time; ``min_df``
+    drops hapax noise. Implemented as a map-side-combinable count over
+    the already-deduped postings plus a filter ON the aggregated
+    grain — no second pass over the raw entries, no window function.
+    """
+    postings = index_entries.select(
         "index_name",
         "key_prop",
         F.explode(tokenize(key_col)).alias("token"),
         F.col(id_col),
     ).distinct()
+    if min_df is None and max_df is None:
+        return postings
+    df_counts = postings.groupBy("index_name", "key_prop", "token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    keep = df_counts.where(
+        (F.lit(min_df is None) | (F.col("_df") >= F.lit(min_df or 0)))
+        & (F.lit(max_df is None) | (F.col("_df") <= F.lit(max_df or 0)))
+    ).drop("_df")
+    # the surviving-token dictionary is small (bounded by vocabulary,
+    # not corpus) → broadcast semi-join, no extra shuffle of postings
+    return postings.join(
+        F.broadcast(keep), ["index_name", "key_prop", "token"], "left_semi"
+    )
 
 
 def fulltext_lookup(
@@ -52,9 +82,9 @@ def fulltext_lookup(
 
     (query_id, node_id, n_matched, n_query_tokens, score, rank) —
     score = matched / query token count. The postings join shuffles on
-    token; at scale, stopword-heavy tokens are the skew keys (AQE
-    skew-join splits them; a min-df/max-df filter on postings is the
-    knob, as in Lucene).
+    token; at scale, stopword-heavy tokens are the skew keys — build
+    the postings with ``max_df`` (build_fulltext_postings) to prune
+    them, and AQE skew-join splits whatever remains.
     """
     q_tokens = queries.select(
         F.col(query_id_col).alias("query_id"),

@@ -59,7 +59,30 @@ class KgResult:
     nodes: DataFrame  # node_id, name, surfaces array<string>, entity_id
     edges: DataFrame  # subj_id, subj, pred, obj_id, obj, n_occurrences, provenance
     triples: DataFrame  # (subj, pred, obj) canonical surface strings (P/R surface)
-    metrics: dict = field(default_factory=dict)
+    _observations: tuple = ()  # pipeline Observations backing .metrics
+    _metrics: dict = field(default_factory=dict)
+
+    @property
+    def metrics(self) -> dict:
+        """Merged pipeline counters (n_turns, n_mentions, n_linked, …).
+
+        Observations fill on the first Spark action over the observed
+        plan. If the caller hasn't run one yet (e.g. no write path was
+        configured), first access runs a count over ``edges`` so the
+        counters are always available instead of silently ``{}``.
+        """
+        if not self._metrics and self._observations:
+
+            def _ready(o) -> bool:
+                jo = getattr(o, "_jo", None)
+                return jo is not None and not jo.getRowOrEmpty().isEmpty()
+
+            if not all(_ready(o) for o in self._observations):
+                self.edges.count()
+            self._metrics = {
+                k: v for o in self._observations for k, v in o.get.items()
+            }
+        return self._metrics
 
 
 def salted_repartition(
@@ -298,15 +321,18 @@ def run_kg_pipeline(
     # write_mode mirrors the reference's keep_db (Config.java:197-199):
     # "overwrite" replaces the target store, "append" keeps it (A7);
     # idempotent per-partition resume lives in pipeline/checkpoint.py
-    metrics: dict = {}
     if nodes_out:
         nodes.write.mode(write_mode).parquet(nodes_out)
         nodes = spark.read.parquet(nodes_out)
     if edges_out:
+        # this write is the action that fills both observations
         edges.write.mode(write_mode).parquet(edges_out)
         edges = spark.read.parquet(edges_out)
         triples = edges.select("subj", "pred", "obj")
-        # metrics only become available after an action has run
-        metrics = {**obs_turns.get, **obs_link.get}
 
-    return KgResult(nodes=nodes, edges=edges, triples=triples, metrics=metrics)
+    return KgResult(
+        nodes=nodes,
+        edges=edges,
+        triples=triples,
+        _observations=(obs_turns, obs_link),
+    )

@@ -97,6 +97,15 @@ def test_kg_pipeline_matches_python_oracle(spark, fixture_data, tmp_path):
     assert res.metrics["n_turns"] == len(rows)
 
 
+def test_kg_pipeline_metrics_without_write(spark, fixture_data):
+    """.metrics must be populated even when no write path is configured
+    (round-2 verdict: a caller without edges_out silently got {})."""
+    res = run_kg_pipeline(fixture_data, alias_dict_df(spark))
+    m = res.metrics  # first access runs the backing action itself
+    assert m["n_turns"] == fixture_data.count()
+    assert m["n_linked"] > 0
+
+
 def test_kg_pipeline_deterministic_across_partitionings(spark, fixture_data):
     a = run_kg_pipeline(fixture_data.repartition(2), alias_dict_df(spark))
     b = run_kg_pipeline(fixture_data.repartition(17), alias_dict_df(spark))
