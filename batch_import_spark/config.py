@@ -148,7 +148,12 @@ def load_config(
             if k.startswith(prefix):
                 name = k[len(prefix):]
                 # value may carry a file: "exact:file" (fromConfigEntry,
-                # IndexInfo.java:29-38)
+                # IndexInfo.java:29-38). DELIBERATE DIVERGENCE: the
+                # reference does split(":")[1], truncating the file at
+                # any second colon; we keep everything after the FIRST
+                # colon so URI-style files ("exact:hdfs://host/path")
+                # survive intact. Covered by
+                # test_fulltext_config.test_index_value_keeps_uri_files.
                 itype, _, ifile = v.partition(":")
                 cfg.indexes[name] = IndexInfo(etype, name, itype, ifile or None)
     for quad_start in range(0, len(index_args or []), 4):

@@ -51,12 +51,23 @@ def asof_join(
     shared = set(by) | {ts}
     left_only = [c for c in left.columns if c not in shared]
 
+    clash = sorted(set(left_only) & set(value_cols))
+    if clash:
+        raise ValueError(
+            f"asof_join: columns {clash} exist on both sides; rename them "
+            "or pass value_cols= with unambiguous right-side names"
+        )
+    # tie-break among right rows at equal ts by the RAW right_order
+    # column (any orderable type — casting to long breaks string keys
+    # under ANSI); highest sorts last, so the running last() wins
+    rord_type = right.schema[right_order].dataType if right_order else None
+
     l_tagged = left.select(
         *by,
         ts,
         *left_only,
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_rord"),
+        (F.lit(None).cast(rord_type) if rord_type else F.lit(0)).alias("_rord"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
     )
     r_tagged = right.select(
@@ -64,7 +75,7 @@ def asof_join(
         ts,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
         F.lit(0).alias("_side"),
-        (F.col(right_order) if right_order else F.lit(0)).cast("long").alias("_rord"),
+        (F.col(right_order) if right_order else F.lit(0)).alias("_rord"),
         *value_cols,
     )
     w = (

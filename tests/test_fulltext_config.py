@@ -54,6 +54,16 @@ def test_fulltext_df_bounds_prune_postings(spark):
     assert ftoks == {"the", "common"}
 
 
+def test_index_value_keeps_uri_files():
+    """Documented divergence from IndexInfo.fromConfigEntry: the
+    reference's split(":")[1] would truncate 'exact:hdfs://h/p' to
+    'hdfs' — we keep the full file name after the first colon."""
+    cfg = load_config("batch_import.node_index.articles=exact:hdfs://host/path\n")
+    info = cfg.indexes["articles"]
+    assert info.index_type == "exact"
+    assert info.file == "hdfs://host/path"
+
+
 def test_config_parses_reference_sample(spark):
     """ConfigTest.java:53-120 semantics on the reference's own
     sample/batch.properties."""

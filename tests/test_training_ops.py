@@ -299,6 +299,34 @@ def test_asof_join_backward_semantics(spark):
     assert out.count() == 4  # LEFT semantics: no row lost
 
 
+def test_asof_join_string_tiebreak_and_name_clash(spark):
+    """Round-2 advice: a string right_order must work under ANSI (no
+    long cast), and a payload column present on BOTH sides must raise
+    a clear error instead of an AnalysisException downstream."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from batch_import_spark.operators.asof import asof_join
+
+    t = lambda s: datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u1", t(10), "L1")], "user string, ts timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [("u1", t(5), "alpha"), ("u1", t(5), "beta")],
+        "user string, ts timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, by=["user"], ts="ts", value_cols=["tag"], right_order="tag"
+    )
+    assert out.collect()[0]["tag"] == "beta"  # highest string wins the tie
+
+    right_clash = right.withColumnRenamed("tag", "lbl")
+    with _pytest.raises(ValueError, match="both sides"):
+        asof_join(left, right_clash, by=["user"], ts="ts")
+
+
 # --- triple-set P/R -------------------------------------------------------------
 
 
