@@ -1049,6 +1049,43 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def _triangle_counts(spark, sf):
+    """Per-node triangle participation over a deterministic graph
+    derived from customer ids (degree-oriented wedge formulation,
+    operators/graph_stats.py — the skew-bounded shape that survives
+    hub nodes at 100 TB)."""
+    from batch_import_spark.operators.graph_stats import triangle_counts
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 50).alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 50).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM (SELECT c_custkey % 50 AS a, (c_custkey * 7 + 3) % 50 AS b FROM customer)
+  WHERE a <> b
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+GROUP BY node
+"""
+
+
 def _stream_sessions(spark, sf):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) over a bounded replay: the planted
@@ -1852,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
         "stream_sessions": _stream_sessions,
+        "triangle_counts": _triangle_counts,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
         "ngram_jaccard": _ngram_jaccard,
@@ -1904,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
+        "triangle_counts": _TRIANGLES_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
         "ngram_jaccard": _NGRAM_SQL,
