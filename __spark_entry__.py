@@ -1049,6 +1049,71 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+_KEYED_H_SQL = "('0x' || substr(md5('s{seed}:' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _corpus_sample(spark, sf):
+    """Deterministic hash sampling (operators/sampling.py): content-
+    hash Bernoulli keep at 30% — stable across runs/partitionings/
+    engines, unlike df.sample()."""
+    from batch_import_spark.operators.sampling import hash_sample
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return hash_sample(d, 0.3, ["doc_id"], seed=7).select("doc_id", "lang")
+
+
+_CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_KEYED_H_SQL.format(seed=7, key="doc_id")} % 1000000 < 300000
+"""
+
+
+def _corpus_mixture(spark, sf):
+    """Corpus mixing: per-source keep rates in one pass (curated
+    sources kept whole, crawl-ish sources downsampled)."""
+    from batch_import_spark.operators.sampling import mixture_sample
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    mixed = mixture_sample(
+        d, "source", {"src1": 1.0, "src2": 0.5, "src3": 0.1}, ["doc_id"], seed=3,
+        default_rate=0.25,
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_CORPUS_MIXTURE_SQL = f"""
+SELECT source, COUNT(*) AS n_kept FROM documents
+WHERE {_KEYED_H_SQL.format(seed=3, key="doc_id")} % 1000000 <
+      CASE source WHEN 'src1' THEN 1000000 WHEN 'src2' THEN 500000
+                  WHEN 'src3' THEN 100000 ELSE 250000 END
+GROUP BY source
+"""
+
+
+def _stratified_sample(spark, sf):
+    """Deterministic per-group reservoir: exactly min(k, group size)
+    docs per language, chosen by hash order (rank-limited window —
+    WindowGroupLimit cuts to k below the exchange)."""
+    from batch_import_spark.operators.sampling import stratified_sample_k
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return stratified_sample_k(d, ["lang"], 5, ["doc_id"], seed=1).select(
+        "lang", "doc_id"
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_KEYED_H_SQL.format(seed=1, key="doc_id")}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 def _triangle_counts(spark, sf):
     """Per-node triangle participation over a deterministic graph
     derived from customer ids (degree-oriented wedge formulation,
@@ -1890,6 +1955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_windowed": _stream_kg_windowed,
         "stream_sessions": _stream_sessions,
         "triangle_counts": _triangle_counts,
+        "corpus_sample": _corpus_sample,
+        "corpus_mixture": _corpus_mixture,
+        "stratified_sample": _stratified_sample,
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
         "ngram_jaccard": _ngram_jaccard,
@@ -1943,6 +2011,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_kg_windowed": _STREAM_KG_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
         "triangle_counts": _TRIANGLES_SQL,
+        "corpus_sample": _CORPUS_SAMPLE_SQL,
+        "corpus_mixture": _CORPUS_MIXTURE_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
         "ngram_jaccard": _NGRAM_SQL,

@@ -1,0 +1,88 @@
+"""Deterministic sampling & corpus mixing for training-data curation.
+
+``df.sample()`` is useless for a 10^12-turn pipeline that must be
+resumable and auditable: its output depends on partitioning, task
+retries re-draw it, and no other engine can reproduce it. These
+operators sample by a PORTABLE content hash instead (md5-derived, see
+operators.sketches.portable_hash60): a row's fate is a pure function
+of its key + seed, so samples are stable across runs, partitionings,
+engines, and cluster sizes — and composable (the same row is kept at
+10% iff it is kept at 20%, enabling nested train/dev carve-outs).
+
+All three operators are single narrow filters / rank-limited windows:
+no shuffle for hash_sample / mixture_sample (pure map), one
+rank-limited exchange for stratified_sample_k (WindowGroupLimit cuts
+to k per group below the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_import_spark.operators.sketches import portable_hash60
+
+_BUCKETS = 1_000_000  # hash-space quantization for rate thresholds
+
+
+def _keyed_hash(key_cols: list[str], seed: int) -> Column:
+    """Portable hash of the (seed-tagged) concatenated key columns."""
+    parts: list[Column] = [F.lit(f"s{seed}")]
+    for c in key_cols:
+        parts.append(F.lit(":"))
+        parts.append(F.col(c).cast("string"))
+    return portable_hash60(F.concat(*parts))
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_cols: list[str], seed: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by key hash — deterministic,
+    engine-portable Bernoulli sampling. Nested: the kept set at a
+    lower fraction (same seed) is a subset of any higher fraction's."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = int(round(fraction * _BUCKETS))
+    return df.where(_keyed_hash(key_cols, seed) % _BUCKETS < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    seed: int = 0,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Corpus mixing: per-source sampling rates in one pass (e.g. keep
+    100% of curated sources, 10% of crawl). Unlisted sources keep
+    ``default_rate``."""
+    rate = F.lit(int(round(default_rate * _BUCKETS)))
+    for name, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == name, F.lit(int(round(r * _BUCKETS)))).otherwise(
+            rate
+        )
+    return df.where(_keyed_hash(key_cols, seed) % _BUCKETS < rate)
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by hash order
+    — a deterministic reservoir. The window is rank-limited, so Spark
+    cuts each group to k on the map side (WindowGroupLimit) before the
+    exchange ships it."""
+    h = _keyed_hash(key_cols, seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .where(F.col("_srn") <= k)
+        .drop("_srn")
+    )
