@@ -1049,6 +1049,37 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def _tfidf_terms(spark, sf):
+    """Integer-exact tf·idf surrogate: top-3 most distinctive tokens
+    per document (operators/fulltext.py tfidf_top_terms)."""
+    from batch_import_spark.operators.fulltext import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return tfidf_top_terms(d, k=3)
+
+
+_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, score_u FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         CAST(tf.tf * ((n.n_docs * 1000000) // dfq.df) AS BIGINT) AS score_u,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((n.n_docs * 1000000) // dfq.df) DESC, tf.token
+         ) AS rn
+  FROM tf JOIN dfq USING (token), n
+) WHERE rn <= 3
+"""
+
+
 _KEYED_H_SQL = "('0x' || substr(md5('s{seed}:' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
 
 
@@ -1955,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_windowed": _stream_kg_windowed,
         "stream_sessions": _stream_sessions,
         "triangle_counts": _triangle_counts,
+        "tfidf_terms": _tfidf_terms,
         "corpus_sample": _corpus_sample,
         "corpus_mixture": _corpus_mixture,
         "stratified_sample": _stratified_sample,
@@ -2011,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_kg_windowed": _STREAM_KG_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
         "triangle_counts": _TRIANGLES_SQL,
+        "tfidf_terms": _TFIDF_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "corpus_mixture": _CORPUS_MIXTURE_SQL,
         "stratified_sample": _STRATIFIED_SQL,

@@ -71,6 +71,45 @@ def build_fulltext_postings(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most distinctive whitespace tokens per document.
+
+    Weight = tf · ((N · 10^6) div df) — an integer-exact tf·idf
+    surrogate (log-free, so it is bit-identical in any engine and
+    hash-checkable; monotone in tf and 1/df exactly like the log
+    form for a fixed tf). Returns (doc_id, token, tf, df, score_u).
+
+    Plan shape: explode → two map-side-combinable groupBys (term
+    frequency, then document frequency over the per-doc grain) →
+    rank-limited window (WindowGroupLimit cuts to k below the
+    exchange). The df table is vocabulary-sized → broadcast join.
+    The corpus size N is one count job (documented scalar).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "score_u", F.expr(f"tf * (({n_docs} * 1000000) DIV df)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_u").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("doc_id", "token", "tf", "df", "score_u")
+    )
+
+
 def fulltext_lookup(
     queries: DataFrame,
     postings: DataFrame,

@@ -54,6 +54,30 @@ def test_fulltext_df_bounds_prune_postings(spark):
     assert ftoks == {"the", "common"}
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    """N=3 docs: 'rare' (df=1) must outscore 'shared' (df=3) at equal
+    tf; tf breaks the tie upward; ties at equal score order by token."""
+    from batch_import_spark.operators.fulltext import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared rare shared"),
+            (1, "shared solo solo"),
+            (2, "shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], -r["score_u"], r["token"])):
+        by_doc.setdefault(r["doc_id"], []).append((r["token"], r["tf"], r["df"]))
+    # doc 0: rare (tf1, df1, 3e6) > shared (tf2, df3, 2e6)
+    assert by_doc[0] == [("rare", 1, 1), ("shared", 2, 3)]
+    # doc 1: solo (tf2, df1, 6e6) > shared (tf1, df3, 1e6)
+    assert by_doc[1] == [("solo", 2, 1), ("shared", 1, 3)]
+    assert by_doc[2] == [("shared", 1, 3)]
+
+
 def test_index_value_keeps_uri_files():
     """Documented divergence from IndexInfo.fromConfigEntry: the
     reference's split(":")[1] would truncate 'exact:hdfs://h/p' to
