@@ -1318,6 +1318,55 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s,
 """
 
 
+def _near_dup_resolution(spark, sf):
+    """End-to-end near-dup curation: minhash pair generation → true
+    connected-components clustering (similarity is not transitive) →
+    min-id keeper per cluster. The oracle brute-forces the pair graph
+    and takes its transitive closure with a recursive CTE."""
+    from batch_import_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_dup_resolution,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_near_duplicates(d, threshold=0.8, num_hashes=32, num_bands=16)
+    return near_dup_resolution(pairs)
+
+
+_NEAR_DUP_RESOLUTION_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+           THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN generate_series(1, len(t)-2)])
+           ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+  UNION SELECT id_a, id_a FROM p
+  UNION SELECT id_b, id_b FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS keeper, MIN(b) = a AS is_kept
+FROM reach GROUP BY a
+"""
+
+
 def _simhash_near_dups(spark, sf):
     from batch_import_spark.operators.dedup import simhash_near_duplicates
 
@@ -1991,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _corpus_mixture,
         "stratified_sample": _stratified_sample,
         "minhash_near_dups": _minhash_near_dups,
+        "near_dup_resolution": _near_dup_resolution,
         "simhash_near_dups": _simhash_near_dups,
         "ngram_jaccard": _ngram_jaccard,
         "lang_id": _lang_id,
@@ -2048,6 +2098,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": _CORPUS_MIXTURE_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "minhash_near_dups": _MINHASH_SQL,
+        "near_dup_resolution": _NEAR_DUP_RESOLUTION_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
         "ngram_jaccard": _NGRAM_SQL,
         "lang_id": _lang_id_oracle_sql(),

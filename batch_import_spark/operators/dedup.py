@@ -433,3 +433,30 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def near_dup_resolution(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into per-document keep/drop decisions.
+
+    Near-dup similarity is not transitive (A~B, B~C does not imply
+    A~C), so the standard curation policy clusters pairs by connected
+    components and keeps ONE representative per cluster — here the
+    minimum doc id (deterministic; swap in a quality-ranked min_by for
+    quality-keeper policies). Returns (doc_id, keeper, is_kept) for
+    every document that appears in at least one pair; documents in no
+    pair are implicitly kept and absent.
+
+    Scale shape: the pair graph is far smaller than the corpus (only
+    near-dup members appear), and connected_components is the same
+    checkpointed small-star/large-star loop the KG canonicalizer uses.
+    """
+    from batch_import_spark.operators.canonicalize import connected_components
+
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component_id").alias("keeper"),
+        (F.col("node_id") == F.col("component_id")).alias("is_kept"),
+    )

@@ -84,3 +84,18 @@ def test_embedding_cap_bounds_pathological_corpus(spark):
         corpus, dim=dim, threshold=0.95, max_bucket_size=100
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100000, 100001)}
+
+
+def test_near_dup_resolution_merges_chains(spark):
+    """CC policy: A~B and B~C cluster together even without an A~C
+    pair (similarity is not transitive); keeper = cluster min."""
+    from batch_import_spark.operators.dedup import near_dup_resolution
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {(r["doc_id"], r["keeper"], r["is_kept"]) for r in near_dup_resolution(pairs).collect()}
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (10, 10, True), (11, 10, False),
+    }
