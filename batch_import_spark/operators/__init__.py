@@ -21,3 +21,17 @@ from batch_import_spark.operators.similarity import (  # noqa: F401
     ivf_ann_topk,
     lsh_ann_topk,
 )
+from batch_import_spark.operators.buckets import cap_hot_buckets  # noqa: F401
+from batch_import_spark.operators.dedup import near_dup_resolution  # noqa: F401
+from batch_import_spark.operators.graph_stats import triangle_counts, undirected_edges  # noqa: F401
+from batch_import_spark.operators.bucketing import bucketed_join, write_bucketed  # noqa: F401
+from batch_import_spark.operators.sampling import (  # noqa: F401
+    hash_sample,
+    mixture_sample,
+    stratified_sample_k,
+)
+from batch_import_spark.operators.fulltext import (  # noqa: F401
+    build_fulltext_postings,
+    fulltext_lookup,
+    tfidf_top_terms,
+)
