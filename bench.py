@@ -94,6 +94,12 @@ def main() -> int:
         "spatial_bbox_lookup",
         "text_fingerprint",
         "kg_extract_canonicalize",
+        # round 3
+        "triangle_counts",
+        "tfidf_terms",
+        "near_dup_resolution",
+        "corpus_sample",
+        "a4_rel_index",
     ]
     for name in bench_queries:
         t0 = time.time()
