@@ -97,8 +97,11 @@ def tfidf_top_terms(
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
+    # precompute N·10^6 as a python int and inline it as a BIGINT
+    # literal — `n * 1000000` as an INT expression overflows ANSI
+    # int32 as soon as the corpus passes ~2.1k docs
     scored = tf.join(F.broadcast(dfreq), "token").withColumn(
-        "score_u", F.expr(f"tf * (({n_docs} * 1000000) DIV df)")
+        "score_u", F.expr(f"tf * ({n_docs * 1000000}L DIV df)")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_u").desc(), F.col("token").asc()

@@ -87,3 +87,156 @@ def triangle_counts(
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _checkpoint_rotate(spark, df: DataFrame, prev_ids: set) -> tuple[DataFrame, set]:
+    """localCheckpoint ``df`` eagerly and unpersist the blocks of the
+    previous iteration's checkpoint (same discipline as
+    canonicalize.connected_components — iterative loops otherwise
+    accumulate MEMORY_AND_DISK blocks for the whole run)."""
+    sc = spark.sparkContext
+
+    def _ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = _ids()
+    out = df.localCheckpoint(eager=True)
+    new_ids = _ids() - before
+    _unpersist_ids(spark, prev_ids)
+    return out, new_ids
+
+
+def _unpersist_ids(spark, ids: set) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+
+
+def pagerank(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed simple edge list.
+
+    Returns (node, pagerank_scaled) where ``pagerank_scaled`` is the
+    rank carried in fixed-point BIGINT units of 1/``scale``:
+
+        rank0(v)   = scale div N
+        rank_i(v)  = (15*scale) div (100*N)
+                     + Σ_{u→v} (85 * rank_{i-1}(u)) div (100 * outdeg(u))
+
+    Every step is non-negative BIGINT arithmetic with truncating
+    division — bit-identical in any engine (the DuckDB oracle unrolls
+    the same recurrence), no float accumulation order to diverge.
+    Dangling-node mass is dropped (the classic simplification); both
+    engines drop it identically.
+
+    Scale shape: outdeg is a map-side-combinable groupBy; the edge
+    table is joined to outdeg ONCE and checkpointed; each iteration is
+    one equi-join of the (node, rank) table to that edge table plus
+    one groupBy(dst) — the standard Pregel-on-DataFrame shape, two
+    shuffles per iteration on evenly-hashed node ids. The rank table
+    is one row per node (asymptotically smaller than the edges); a
+    fixed iteration count keeps the job DAG statically known.
+    """
+    spark = df.sparkSession
+    e = (
+        df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes, node_ids = _checkpoint_rotate(spark, nodes, set())
+    n = nodes.count()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed, ed_ids = _checkpoint_rotate(spark, e.join(outd, "src"), set())
+
+    init = scale // n
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    prev_ids: set = set()
+    for _ in range(iterations):
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("(85 * rank) div (100 * d)").alias("c"),
+        )
+        agg = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(agg, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+        )
+        ranks, prev_ids = _checkpoint_rotate(spark, ranks, prev_ids)
+    # the final ranks checkpoint is materialized — the edge/node
+    # checkpoints are no longer referenced by its lineage
+    _unpersist_ids(spark, ed_ids | node_ids)
+    return ranks.select("node", F.col("rank").alias("pagerank_scaled"))
+
+
+def bfs_distances(
+    df: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from any node in ``sources`` (one column,
+    ``node``) to every reachable node. Returns (node, dist int).
+
+    Frontier BFS on DataFrames: each round joins ONLY the new frontier
+    (nodes first reached last round) against the edge list, then
+    anti-joins the visited set — work per round is proportional to the
+    frontier's out-edges, not the graph, and the visited set grows
+    monotonically. Two shuffles per round on node ids; terminates when
+    the frontier empties (diameter rounds, not max_hops, in the common
+    case). The visited set is checkpointed per round with the same
+    block-rotation discipline as connected_components.
+    """
+    spark = df.sparkSession
+    e = (
+        df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = e.distinct()
+    e, e_ids = _checkpoint_rotate(spark, e, set())
+
+    visited = sources.select("node").distinct().select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    visited, visited_ids = _checkpoint_rotate(spark, visited, set())
+    # the initial frontier aliases the visited checkpoint: its blocks
+    # are owned (and freed) through visited_ids, so frontier_ids is
+    # empty until the first real frontier replaces it
+    frontier, frontier_ids = visited, set()
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+        )
+        reached, r_ids = _checkpoint_rotate(spark, reached, set())
+        if reached.limit(1).count() == 0:
+            _unpersist_ids(spark, r_ids)
+            break
+        # new visited materializes from the old visited + reached
+        # checkpoints; after that the old visited and the old frontier
+        # (last round's reached) are unreferenced
+        visited, visited_ids = _checkpoint_rotate(
+            spark, visited.unionAll(reached), visited_ids | frontier_ids
+        )
+        frontier, frontier_ids = reached, r_ids
+    _unpersist_ids(spark, e_ids | frontier_ids)
+    return visited

@@ -23,3 +23,70 @@ def test_triangle_counts_hand_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def _py_pagerank(edges, iterations=6, scale=10**12):
+    """Pure-python reference of the integer recurrence."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({n for p in e for n in p})
+    n = len(nodes)
+    outd = {}
+    for s, _ in e:
+        outd[s] = outd.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in e:
+            contrib[d] += (85 * rank[s]) // (100 * outd[s])
+        rank = {v: base + contrib[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_recurrence(spark):
+    from batch_import_spark.operators.graph_stats import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 2), (5, 4), (1, 2), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank_scaled"] for r in pagerank(df, iterations=4).collect()}
+    assert got == _py_pagerank(edges, iterations=4)
+    # rank mass is conserved up to truncation + dangling leak: bounded by scale
+    assert 0 < sum(got.values()) <= 10**12
+
+
+def test_pagerank_sink_node_receives_no_out_mass(spark):
+    """A pure sink (no out-edges) still gets BASE + in-contributions;
+    its mass leaks (dropped dangling mass) — both by design."""
+    from batch_import_spark.operators.graph_stats import pagerank
+
+    df = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {r["node"]: r["pagerank_scaled"] for r in pagerank(df, iterations=2).collect()}
+    assert got == _py_pagerank([(1, 2), (3, 2)], iterations=2)
+    assert got[2] > got[1] == got[3]
+
+
+def test_bfs_distances_undirected(spark):
+    from batch_import_spark.operators.graph_stats import bfs_distances
+
+    # path 1-2-3-4-5, branch 3-6, island 9-10
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (9, 10)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, srcs).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 3}  # island unreachable
+
+
+def test_bfs_distances_directed_multi_source(spark):
+    from batch_import_spark.operators.graph_stats import bfs_distances
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3), (3, 1)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, srcs, directed=True).collect()
+    }
+    # 4→3 beats 1→2→3; 2 only via 1
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
