@@ -1182,6 +1182,91 @@ GROUP BY node
 """
 
 
+def _pagerank(spark, sf):
+    """Integer-exact PageRank (operators/graph_stats.py pagerank) over
+    the deterministic customer-derived directed graph. Fixed-point
+    BIGINT recurrence — the DuckDB oracle replays the identical
+    integer arithmetic in a recursive CTE, so ranks match bit-for-bit
+    (no float accumulation order to diverge)."""
+    from batch_import_spark.operators.graph_stats import pagerank
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    # (src, dst) varies with BOTH c mod 50 and c div 7 — irregular
+    # in/out degrees (a permutation graph would sit at PageRank's
+    # fixed point and test nothing)
+    edges = c.select(
+        (F.col("c_custkey") % 50).alias("src"),
+        F.expr("(c_custkey div 7) % 50").alias("dst"),
+    )
+    return pagerank(edges, iterations=6)
+
+
+# the w=0 self-loop rows keep every node present in each recursive
+# step (a node with no in-edges still gets its BASE term) with a
+# single reference to the recursive table
+_PAGERANK_SQL = """
+WITH RECURSIVE
+raw AS (SELECT c_custkey % 50 AS src, (c_custkey // 7) % 50 AS dst FROM customer),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+-- NOT a bare UNION: inside WITH RECURSIVE, DuckDB resolves a
+-- two-arm UNION CTE through the recursive-union machinery and the
+-- cross-arm dedup is lost (observed: 100 rows from 50 distinct ids)
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+consts AS (SELECT 1000000000000 // COUNT(*) AS init,
+                  (15 * 1000000000000) // (100 * COUNT(*)) AS base
+           FROM nodes),
+ea AS (
+  SELECT e.src, e.dst, CAST(1 AS BIGINT) AS w, o.d FROM e JOIN outd o USING (src)
+  UNION ALL
+  SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, node, (SELECT init FROM consts) AS rank FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, ea.dst,
+         (SELECT base FROM consts)
+         + CAST(SUM((85 * p.rank * ea.w) // (100 * ea.d)) AS BIGINT)
+  FROM pr p JOIN ea ON ea.src = p.node
+  WHERE p.iter < 6
+  GROUP BY 1, 2
+)
+SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
+"""
+
+
+def _bfs_hops(spark, sf):
+    """Frontier BFS hop distances (operators/graph_stats.py
+    bfs_distances) on the directed customer graph from sources
+    {0, 1}; per-round work proportional to the frontier, not the
+    graph."""
+    from batch_import_spark.operators.graph_stats import bfs_distances
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 50).alias("src"),
+        F.expr("(c_custkey div 7) % 50").alias("dst"),
+    )
+    sources = edges.select(F.col("src").alias("node")).where(
+        F.col("node") < 2
+    ).distinct()
+    return bfs_distances(edges, sources, directed=True, max_hops=20)
+
+
+_BFS_SQL = """
+WITH RECURSIVE
+raw AS (SELECT c_custkey % 50 AS src, (c_custkey // 7) % 50 AS dst FROM customer),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+d AS (
+  SELECT DISTINCT src AS node, 0 AS dist FROM e WHERE src < 2
+  UNION
+  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node WHERE d.dist < 20
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
+"""
+
+
 def _stream_sessions(spark, sf):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) over a bounded replay: the planted
@@ -2035,6 +2120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_windowed": _stream_kg_windowed,
         "stream_sessions": _stream_sessions,
         "triangle_counts": _triangle_counts,
+        "pagerank": _pagerank,
+        "bfs_hops": _bfs_hops,
         "tfidf_terms": _tfidf_terms,
         "corpus_sample": _corpus_sample,
         "corpus_mixture": _corpus_mixture,
@@ -2093,6 +2180,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_kg_windowed": _STREAM_KG_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
         "triangle_counts": _TRIANGLES_SQL,
+        "pagerank": _PAGERANK_SQL,
+        "bfs_hops": _BFS_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "corpus_mixture": _CORPUS_MIXTURE_SQL,
