@@ -1145,6 +1145,70 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _doc_chunks(spark, sf):
+    """Context-window sharding (operators/packing.py chunk_documents):
+    180-char windows, 30-char overlap — a pure narrow map (sequence →
+    explode → substring), no shuffle."""
+    from batch_import_spark.operators.packing import chunk_documents
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return chunk_documents(d, chunk_len=180, overlap=30)
+
+
+_DOC_CHUNKS_SQL = """
+SELECT doc_id, CAST((s - 1) // 150 AS INT) AS chunk_idx,
+       substr(text, CAST(s AS INT), 180) AS chunk_text,
+       CAST(length(substr(text, CAST(s AS INT), 180)) AS INT) AS chunk_n_chars
+FROM (
+  SELECT doc_id, text, UNNEST(generate_series(1, length(text), 150)) AS s
+  FROM documents
+)
+"""
+
+
+def _seq_packing(spark, sf):
+    """Greedy sequence packing into 256-token bins within 8 hash
+    groups (operators/packing.py pack_sequences) — the DuckDB oracle
+    replays the same greedy recurrence per group in a recursive CTE."""
+    from batch_import_spark.operators.packing import (
+        pack_sequences,
+        token_count,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    sized = d.select("doc_id", token_count("text").alias("n_tok"))
+    return pack_sequences(sized, "n_tok", ["doc_id"], capacity=256, n_groups=8, seed=11)
+
+
+_SEQ_PACKING_SQL = rf"""
+WITH RECURSIVE
+sz AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS size,
+         {_KEYED_H_SQL.format(seed=11, key="doc_id")} AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, size, CAST(h % 8 AS INT) AS group_id,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM sz
+),
+p AS (
+  SELECT group_id, rn, doc_id, size, CAST(0 AS BIGINT) AS pack_id,
+         size AS fill, CAST(0 AS INT) AS pack_pos
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.group_id, s.rn, s.doc_id, s.size,
+         CASE WHEN p.fill + s.size <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + s.size <= 256 THEN p.fill + s.size ELSE s.size END,
+         CASE WHEN p.fill + s.size <= 256 THEN p.pack_pos + 1 ELSE 0 END
+  FROM p JOIN s ON s.group_id = p.group_id AND s.rn = p.rn + 1
+)
+SELECT group_id, doc_id, size, pack_id, pack_pos FROM p
+"""
+
+
 def _triangle_counts(spark, sf):
     """Per-node triangle participation over a deterministic graph
     derived from customer ids (degree-oriented wedge formulation,
@@ -2126,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _corpus_sample,
         "corpus_mixture": _corpus_mixture,
         "stratified_sample": _stratified_sample,
+        "doc_chunks": _doc_chunks,
+        "seq_packing": _seq_packing,
         "minhash_near_dups": _minhash_near_dups,
         "near_dup_resolution": _near_dup_resolution,
         "simhash_near_dups": _simhash_near_dups,
@@ -2186,6 +2252,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "corpus_mixture": _CORPUS_MIXTURE_SQL,
         "stratified_sample": _STRATIFIED_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "seq_packing": _SEQ_PACKING_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "near_dup_resolution": _NEAR_DUP_RESOLUTION_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),

@@ -1,0 +1,147 @@
+"""Document chunking and sequence packing for training-data prep.
+
+Two shapes every LLM-corpus pipeline needs between curation and the
+trainer:
+
+- ``chunk_documents``: split long documents into fixed-length windows
+  with overlap (context-window sharding). Pure per-row expressions —
+  a narrow map, no shuffle, streams through 100 TB at scan speed.
+- ``pack_sequences``: greedy first-fit packing of documents into
+  fixed-capacity bins (sequence packing — filling each training
+  context window instead of padding). Greedy packing is inherently
+  sequential, which cannot be a single distributed scan; the scalable
+  formulation packs WITHIN deterministic hash groups: each group
+  packs independently in one Arrow batch (applyInPandas), so
+  parallelism = n_groups and no global order is needed. Group
+  assignment + intra-group order are portable-hash-derived
+  (operators.sampling), so the packing is bit-stable across runs,
+  partitionings, and engines — the DuckDB oracle replays the same
+  greedy recurrence in a recursive CTE.
+
+At 10^12-turn scale, pick ``n_groups`` ≈ corpus_tokens / (executor
+memory budget): each group must fit one pandas batch. Packing quality
+loss vs global greedy is negligible for n_groups ≪ n_docs (each group
+is still a large random sample of the size distribution).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from batch_import_spark.operators.sampling import _keyed_hash
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count, identical to the tf-idf tokenizer's
+    grain (empty/blank text → 0)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != ""))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_len: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Fixed-length character windows with ``overlap`` chars shared
+    between consecutive chunks. Returns
+    (doc_id, chunk_idx int, chunk_text, chunk_n_chars int).
+
+    Chunk i starts at 1 + i·(chunk_len − overlap) (1-based substring,
+    the portable convention); every start position ≤ len(text) emits a
+    chunk, so trailing chunks may be shorter (and, when the tail is
+    shorter than ``overlap``, fully contained in the previous chunk —
+    kept deliberately: dropping them would make chunk counts depend on
+    doc length modulo stride, and downstream dedup handles containment).
+    Empty documents emit no chunks.
+
+    Pure narrow map (sequence → explode → substring): no shuffle, and
+    the scan only reads (id, text) after column pruning.
+    """
+    if overlap >= chunk_len:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_len ({chunk_len})")
+    stride = chunk_len - overlap
+    n = F.length(F.col(text_col))
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(starts).alias("_s"),
+    )
+    return ex.select(
+        "doc_id",
+        ((F.col("_s") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.expr(f"substring(_t, _s, {chunk_len})").alias("chunk_text"),
+        F.length(F.expr(f"substring(_t, _s, {chunk_len})")).alias("chunk_n_chars"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    id_cols: list[str],
+    capacity: int,
+    n_groups: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing within deterministic
+    hash groups. Returns the input's ``id_cols`` + ``size_col`` plus
+    (group_id int, pack_id bigint, pack_pos int):
+
+    - group_id: portable-hash(id) % n_groups (even, content-stable)
+    - within a group, items are taken in (hash, id) order; an item
+      joins the current pack if fill + size ≤ capacity, else opens the
+      next pack (items larger than ``capacity`` get a pack of their
+      own — flagged by pack_pos 0 and size > capacity, not dropped)
+    - pack_id is group-local; (group_id, pack_id) is the global key
+
+    One shuffle (groupBy on group_id), then one Arrow batch per group;
+    the sequential greedy loop touches each row once.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    h = _keyed_hash(id_cols, seed)
+    tagged = df.select(
+        *id_cols,
+        F.col(size_col).cast("long").alias("_size"),
+        (h % n_groups).cast("int").alias("group_id"),
+        h.alias("_h"),
+    )
+    id_fields = [tagged.schema[c] for c in id_cols]
+    out_schema = T.StructType(
+        [
+            T.StructField("group_id", T.IntegerType()),
+            *id_fields,
+            T.StructField("size", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_pos", T.IntegerType()),
+        ]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", *id_cols], kind="mergesort").reset_index(
+            drop=True
+        )
+        pack_ids, positions = [], []
+        pack, fill, pos = 0, 0, 0
+        for size in pdf["_size"]:
+            if pack_ids and fill + size > capacity:
+                pack, fill, pos = pack + 1, 0, 0
+            pack_ids.append(pack)
+            positions.append(pos)
+            fill += size
+            pos += 1
+        out = pdf[["group_id", *id_cols]].copy()
+        out["size"] = pdf["_size"]
+        out["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        out["pack_pos"] = pd.Series(positions, dtype="int32")
+        return out
+
+    return tagged.groupBy("group_id").applyInPandas(_pack, out_schema)

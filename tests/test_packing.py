@@ -1,0 +1,100 @@
+"""Chunking + sequence packing (operators/packing.py)."""
+
+import pytest
+
+from batch_import_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+    token_count,
+)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_len=4, overlap=1).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_n_chars"]) for r in out}
+    # stride 3: starts 1,4,7,10 for len 10
+    assert got[(1, 0)] == ("abcd", 4)
+    assert got[(1, 1)] == ("defg", 4)
+    assert got[(1, 2)] == ("ghij", 4)
+    assert got[(1, 3)] == ("j", 1)  # contained tail kept by contract
+    assert got[(2, 0)] == ("xy", 2)
+    assert {d for d, _ in got} == {1, 2}  # empty + null emit nothing
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_len=4, overlap=4)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   world "), (2, ""), (3, "one")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 2, 2: 0, 3: 1}
+
+
+def _greedy(sizes, capacity):
+    packs, pack, fill = [], 0, 0
+    for i, s in enumerate(sizes):
+        if i and fill + s > capacity:
+            pack, fill = pack + 1, 0
+        packs.append(pack)
+        fill += s
+    return packs
+
+
+def test_pack_sequences_greedy_within_groups(spark):
+    rows = [(i, f"doc{i}", 30 + (i * 13) % 80) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, name string, n_tok long")
+    out = pack_sequences(
+        df, "n_tok", ["doc_id"], capacity=128, n_groups=4, seed=5
+    ).collect()
+    assert len(out) == 40
+    by_group: dict[int, list] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    assert set(by_group) <= set(range(4))
+    for g, members in by_group.items():
+        # replay greedy in (pack_id, pack_pos) order — the operator's
+        # declared intra-group order
+        members.sort(key=lambda r: (r["pack_id"], r["pack_pos"]))
+        expect = _greedy([r["size"] for r in members], 128)
+        assert [r["pack_id"] for r in members] == expect
+        # no pack overflows except single-item oversize packs
+        fills: dict[int, int] = {}
+        for r in members:
+            fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["size"]
+        for pid, f in fills.items():
+            n_items = sum(1 for r in members if r["pack_id"] == pid)
+            assert f <= 128 or n_items == 1
+
+
+def test_pack_sequences_oversize_item_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [(1, 500), (2, 10), (3, 10)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "n_tok", ["doc_id"], capacity=100, n_groups=1).collect()
+    oversize = [r for r in out if r["size"] == 500][0]
+    assert oversize["pack_pos"] == 0
+    assert sum(1 for r in out if r["pack_id"] == oversize["pack_id"]) == 1
+
+
+def test_pack_sequences_deterministic(spark):
+    rows = [(i, 10 + i % 7) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = sorted(map(tuple, pack_sequences(df, "n_tok", ["doc_id"], 64, 4, seed=1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                df.repartition(7), "n_tok", ["doc_id"], 64, 4, seed=1
+            ).collect(),
+        )
+    )
+    assert a == b
