@@ -1145,6 +1145,43 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _contamination(spark, sf):
+    """Benchmark-contamination screen (operators/contamination.py):
+    docs with doc_id % 13 == 0 act as the held-out benchmark set;
+    every other doc is scored by distinct word-3-gram overlap ppm
+    (3-grams here so the small corpus yields a rich result set;
+    production screens use n=8..13 via the same parameter)."""
+    from batch_import_spark.operators.contamination import ngram_contamination
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_contamination(
+        d.where(F.col("doc_id") % 13 != 0), d.where(F.col("doc_id") % 13 == 0), n=3
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS ng
+  FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 2, 1)) AS i
+        FROM toks WHERE len(tk) >= 3)
+),
+d AS (SELECT * FROM ng WHERE doc_id % 13 <> 0),
+p AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 13 = 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM d GROUP BY 1),
+hit AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM d JOIN p USING (ng) GROUP BY 1)
+SELECT doc_id, n_hit, n_total,
+       n_hit * 1000000 // n_total AS contam_ppm
+FROM hit JOIN tot USING (doc_id)
+"""
+
+
 def _doc_chunks(spark, sf):
     """Context-window sharding (operators/packing.py chunk_documents):
     180-char windows, 30-char overlap — a pure narrow map (sequence →
@@ -2192,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "doc_chunks": _doc_chunks,
         "seq_packing": _seq_packing,
+        "contamination": _contamination,
         "minhash_near_dups": _minhash_near_dups,
         "near_dup_resolution": _near_dup_resolution,
         "simhash_near_dups": _simhash_near_dups,
@@ -2254,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
+        "contamination": _CONTAMINATION_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "near_dup_resolution": _NEAR_DUP_RESOLUTION_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),
