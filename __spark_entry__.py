@@ -1145,6 +1145,107 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _conv_table(spark, sf):
+    """Deterministic transcript table in the BASELINE input_hint shape
+    (conv_id, turn_idx, role, text, tool, ts), derived from documents
+    so the DuckDB oracle can rebuild it with the same expressions."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    role = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+    tool = F.when(
+        F.col("doc_id") % 3 == 2,
+        F.concat(F.lit("Tool"), (F.col("doc_id") % 8).cast("string")),
+    )
+    return d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 60).alias("ts"),
+    )
+
+
+_CONV_SQL = """
+SELECT source AS conv_id, CAST(doc_id AS INT) AS turn_idx,
+       CASE WHEN doc_id % 3 = 0 THEN 'user'
+            WHEN doc_id % 3 = 1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       text,
+       CASE WHEN doc_id % 3 = 2
+            THEN 'Tool' || CAST(doc_id % 8 AS VARCHAR) END AS tool,
+       1735689600 + doc_id * 60 AS ts_sec
+FROM documents
+"""
+
+
+def _tool_transitions(spark, sf):
+    """Agent tool-call bigrams (operators/conversations.py
+    tool_transitions): which tool follows which within a
+    conversation, non-tool turns transparent."""
+    from batch_import_spark.operators.conversations import tool_transitions
+
+    return tool_transitions(_conv_table(spark, sf))
+
+
+_TOOL_TRANSITIONS_SQL = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool,
+         LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM ({_CONV_SQL}) WHERE tool IS NOT NULL
+)
+SELECT prev_tool, tool, COUNT(*) AS n_transitions
+FROM t WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""
+
+
+def _context_assembly(spark, sf):
+    """Turn-context assembly (operators/conversations.py
+    assemble_context): each turn paired with its previous ≤3 turn
+    texts — the model-input construction step for replay/distillation
+    over transcripts."""
+    from batch_import_spark.operators.conversations import assemble_context
+
+    t = _conv_table(spark, sf)
+    return assemble_context(t, k=3).select("conv_id", "turn_idx", "context")
+
+
+_CONTEXT_ASSEMBLY_SQL = f"""
+SELECT conv_id, turn_idx,
+       COALESCE(string_agg(text, chr(10)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+       ), '') AS context
+FROM ({_CONV_SQL})
+"""
+
+
+def _conv_stats(spark, sf):
+    """Per-conversation curation rollup (operators/conversations.py
+    conversation_stats): role mix, tool calls, token volume, span."""
+    from batch_import_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(_conv_table(spark, sf))
+
+
+_CONV_STATS_SQL = rf"""
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(SUM(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_tokens,
+       CAST(MAX(ts_sec) - MIN(ts_sec) AS BIGINT) AS span_seconds
+FROM ({_CONV_SQL})
+GROUP BY conv_id
+"""
+
+
 def _contamination(spark, sf):
     """Benchmark-contamination screen (operators/contamination.py):
     docs with doc_id % 13 == 0 act as the held-out benchmark set;
@@ -2230,6 +2331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "seq_packing": _seq_packing,
         "contamination": _contamination,
+        "tool_transitions": _tool_transitions,
+        "context_assembly": _context_assembly,
+        "conv_stats": _conv_stats,
         "minhash_near_dups": _minhash_near_dups,
         "near_dup_resolution": _near_dup_resolution,
         "simhash_near_dups": _simhash_near_dups,
@@ -2293,6 +2397,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "tool_transitions": _TOOL_TRANSITIONS_SQL,
+        "context_assembly": _CONTEXT_ASSEMBLY_SQL,
+        "conv_stats": _CONV_STATS_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "near_dup_resolution": _NEAR_DUP_RESOLUTION_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),

@@ -1,0 +1,107 @@
+"""Conversation/transcript analytics over (conv_id, turn_idx)-shaped
+tables — the input grain of the KG pipeline (BASELINE input_hint:
+conv_id string, turn_idx int, role, text, tool, ts).
+
+Agent-transcript corpora need turn-level operators the plain document
+family doesn't cover: which tool follows which (transition graph for
+agent-behavior mining), what context window precedes each turn
+(assembling model inputs for distillation / replay), per-conversation
+rollups (length, tool usage, duration) for curation cuts.
+
+All three are single-shuffle shapes on conv_id: windows and groupBys
+partition by conversation, so a 10^12-turn table with salted/bucketed
+conv_id layout (pipeline/kg.py's partitioning) runs them without any
+global sort or driver state. Hot conversations bound the window state
+(one conversation's turns), not the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tool_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-call bigram counts: for each conversation's tool-bearing
+    turns in order, count (prev_tool → tool) transitions across the
+    whole corpus. Returns (prev_tool, tool, n_transitions).
+
+    Non-tool turns are transparent (a transition spans intervening
+    user/assistant turns) — the standard agent-trace formulation.
+    One window + one map-side-combinable groupBy."""
+    t = (
+        df.where(F.col(tool_col).isNotNull())
+        .select(
+            F.col(conv_col).alias("_c"),
+            F.col(order_col).alias("_o"),
+            F.col(tool_col).alias("tool"),
+        )
+        .withColumn("prev_tool", F.lag("tool").over(
+            Window.partitionBy("_c").orderBy("_o")
+        ))
+    )
+    return (
+        t.where(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def assemble_context(
+    df: DataFrame,
+    k: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Attach each turn's preceding context: the previous ≤k turn
+    texts of the same conversation joined with ``sep`` (empty string
+    for a conversation's first turn). Adds a ``context`` column.
+
+    The frame is ROWS BETWEEN k PRECEDING AND 1 PRECEDING under the
+    turn order — bounded state per conversation regardless of
+    conversation length, so a hot conversation costs O(k·turn) not
+    O(turn²)."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(-k, -1)
+    )
+    return df.withColumn(
+        "context", F.array_join(F.collect_list(F.col(text_col)).over(w), sep)
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation curation rollup: turn counts by role, tool
+    calls, whitespace-token volume, span seconds. One
+    map-side-combinable groupBy on conv_id. Returns
+    (conv_id, n_turns, n_user, n_assistant, n_tool_calls, n_tokens,
+    span_seconds)."""
+    toks = F.size(
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    )
+    return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col(role_col) == "user").cast("long")).alias("n_user"),
+        F.sum((F.col(role_col) == "assistant").cast("long")).alias("n_assistant"),
+        F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_calls"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+        (
+            F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long")
+        ).alias("span_seconds"),
+    )
