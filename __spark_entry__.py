@@ -1145,6 +1145,58 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _hll_users(spark, sf):
+    """Reproducible integer HyperLogLog per event_type
+    (operators/sketches.py hll_sketch) with the exact distinct count
+    alongside — the oracle rebuilds the registers AND the estimate."""
+    from batch_import_spark.operators.sketches import hll_sketch
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    sk = hll_sketch(e, ["event_type"], "user_id")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "hll_estimate", "n_registers", "register_sum", "n_exact"
+    )
+
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+b AS (
+  SELECT event_type, h // 18014398509481984 AS bucket,
+         h % 18014398509481984 AS rest
+  FROM h
+),
+r AS (
+  SELECT event_type, bucket,
+         LEAST(CASE WHEN rest = 0 THEN 55
+                    ELSE strpos(lpad(bin(rest), 54, '0'), '1') END, 35) AS rho
+  FROM b
+),
+reg AS (SELECT event_type, bucket, MAX(rho) AS r FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_registers,
+         CAST(SUM(1::BIGINT << (35 - r)) AS BIGINT) AS s_present,
+         CAST(SUM(r) AS BIGINT) AS register_sum
+  FROM reg GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT a.event_type,
+       (99782879243927552 // (1000 * (s_present + (64 - n_registers) * 34359738368))) AS hll_estimate,
+       n_registers, register_sum, n_exact
+FROM agg a JOIN exact USING (event_type)
+"""
+
+
 def _conv_table(spark, sf):
     """Deterministic transcript table in the BASELINE input_hint shape
     (conv_id, turn_idx, role, text, tool, ts), derived from documents
@@ -2346,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _asof_last_click,
         "range_window_join": _range_window_join,
         "kmv_distinct_users": _kmv_distinct_users,
+        "hll_distinct_users": _hll_users,
         "time_rollup": _time_rollup,
         "spatial_bbox_lookup": _spatial_bbox,
         # rows-only (media fixture is synthesized, not a parquet view)
@@ -2412,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": _ASOF_SQL,
         "range_window_join": _RANGE_SQL,
         "kmv_distinct_users": _KMV_SQL,
+        "hll_distinct_users": _HLL_SQL,
         "time_rollup": _TIME_ROLLUP_SQL,
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),

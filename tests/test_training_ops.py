@@ -444,3 +444,58 @@ def test_video_frame_sampling_plan(spark):
         per_id.setdefault(r["media_id"], 0)
         per_id[r["media_id"]] += 1
     assert all(n >= 3 for n in per_id.values())
+
+
+def _py_hll(values, groups=None):
+    """Pure-python replay of the integer HLL recurrence."""
+    import hashlib
+
+    REST_BITS, CAP, M = 54, 35, 64
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, rest = h >> REST_BITS, h % (1 << REST_BITS)
+        rho = REST_BITS + 1 if rest == 0 else REST_BITS - rest.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), min(rho, CAP))
+    s = sum(1 << (CAP - r) for r in regs.values()) + (M - len(regs)) * (1 << CAP)
+    est = (709 * M * M * (1 << CAP)) // (1000 * s)
+    return est, len(regs), sum(regs.values())
+
+
+def test_hll_sketch_matches_python_replay(spark):
+    from batch_import_spark.operators.sketches import hll_sketch
+
+    rows = [("a", f"user{i % 40}") for i in range(200)] + [
+        ("b", f"u{i}") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r for r in hll_sketch(df, ["g"], "v").collect()}
+    for g, vals in [("a", [f"user{i % 40}" for i in range(200)]),
+                    ("b", [f"u{i}" for i in range(500)])]:
+        est, n_reg, reg_sum = _py_hll(vals)
+        assert got[g]["hll_estimate"] == est
+        assert got[g]["n_registers"] == n_reg
+        assert got[g]["register_sum"] == reg_sum
+
+
+def test_hll_sketch_estimate_in_expected_error_band(spark):
+    from batch_import_spark.operators.sketches import hll_sketch
+
+    n = 5000
+    df = spark.createDataFrame([("g", f"id-{i}") for i in range(n)], "g string, v string")
+    est = hll_sketch(df, ["g"], "v").collect()[0]["hll_estimate"]
+    # raw HLL with m=64: sigma ~ 13%; allow 4 sigma
+    assert abs(est - n) / n < 0.52
+
+
+def test_hll_sketch_insensitive_to_duplicates_and_partitioning(spark):
+    from batch_import_spark.operators.sketches import hll_sketch
+
+    base = [("g", f"x{i}") for i in range(300)]
+    a = hll_sketch(spark.createDataFrame(base, "g string, v string"), ["g"], "v").collect()
+    b = hll_sketch(
+        spark.createDataFrame(base * 3, "g string, v string").repartition(13),
+        ["g"],
+        "v",
+    ).collect()
+    assert a[0].asDict() == b[0].asDict()
