@@ -1145,6 +1145,32 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _grouped_quantiles(spark, sf):
+    """Exact grouped quantiles (R-7 linear interpolation — verified
+    identical between Spark `percentile` and DuckDB `quantile_cont`).
+    Inputs cast to BIGINT so every interpolated value is a dyadic
+    rational, exactly representable — no float-summation divergence."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    q = F.col("l_quantity").cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.percentile(q, F.lit(0.5)).alias("q50"),
+        F.percentile(q, F.lit(0.75)).alias("q75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT l_returnflag, l_linestatus,
+       quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
+       quantile_cont(CAST(l_quantity AS BIGINT), 0.5)  AS q50,
+       quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def _hll_users(spark, sf):
     """Reproducible integer HyperLogLog per event_type
     (operators/sketches.py hll_sketch) with the exact distinct count
@@ -1295,6 +1321,59 @@ SELECT conv_id,
        CAST(MAX(ts_sec) - MIN(ts_sec) AS BIGINT) AS span_seconds
 FROM ({_CONV_SQL})
 GROUP BY conv_id
+"""
+
+
+def _batch_sessions(spark, sf):
+    """Batch gap-sessionization (operators/conversations.py
+    sessionize) — the at-rest twin of the streaming stateful operator,
+    same 30-minute gap rule."""
+    from batch_import_spark.operators.conversations import sessionize
+
+    return sessionize(_conv_table(spark, sf), gap_seconds=1800)
+
+
+_BATCH_SESSIONS_SQL = f"""
+WITH t AS (SELECT conv_id, turn_idx, ts_sec FROM ({_CONV_SQL})),
+f AS (
+  SELECT conv_id, turn_idx, ts_sec,
+         CASE WHEN LAG(ts_sec) OVER w IS NULL
+                   OR ts_sec - LAG(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS nw
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts_sec, turn_idx)
+),
+s AS (
+  SELECT conv_id, ts_sec,
+         CAST(SUM(nw) OVER (PARTITION BY conv_id ORDER BY ts_sec, turn_idx
+                            ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+  FROM f
+)
+SELECT conv_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(MIN(ts_sec) AS BIGINT) AS start_sec,
+       CAST(MAX(ts_sec) AS BIGINT) AS end_sec
+FROM s GROUP BY 1, 2
+"""
+
+
+def _fuzzy_names(spark, sf):
+    """Edit-distance ≤1 self-join on customer names via deletion
+    neighborhoods (operators/fuzzy.py) — an equi-join plan; the DuckDB
+    oracle is the quadratic cross join the operator avoids."""
+    from batch_import_spark.operators.fuzzy import fuzzy_join_ed1
+
+    c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_name")
+    out = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey")
+    return out.where(F.col("c_custkey_l") < F.col("c_custkey_r")).select(
+        F.col("c_custkey_l").alias("custkey_a"),
+        F.col("c_custkey_r").alias("custkey_b"),
+        "distance",
+    )
+
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
@@ -2357,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": _topk_per_group,
         "set_ops": _set_ops,
         "rollup_counts": _rollup_counts,
+        "grouped_quantiles": _grouped_quantiles,
         "cube_counts": _cube_counts,
         "fulltext_lookup": _fulltext_lookup,
         # training-data ops
@@ -2386,6 +2466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": _tool_transitions,
         "context_assembly": _context_assembly,
         "conv_stats": _conv_stats,
+        "batch_sessions": _batch_sessions,
+        "fuzzy_name_match": _fuzzy_names,
         "minhash_near_dups": _minhash_near_dups,
         "near_dup_resolution": _near_dup_resolution,
         "simhash_near_dups": _simhash_near_dups,
@@ -2426,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _TOPK_SQL,
         "set_ops": _SET_SQL,
         "rollup_counts": _ROLLUP_SQL,
+        "grouped_quantiles": _QUANTILES_SQL,
         "cube_counts": _CUBE_SQL,
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
@@ -2453,6 +2536,8 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": _TOOL_TRANSITIONS_SQL,
         "context_assembly": _CONTEXT_ASSEMBLY_SQL,
         "conv_stats": _CONV_STATS_SQL,
+        "batch_sessions": _BATCH_SESSIONS_SQL,
+        "fuzzy_name_match": _FUZZY_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "near_dup_resolution": _NEAR_DUP_RESOLUTION_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),

@@ -105,3 +105,44 @@ def conversation_stats(
             F.max(F.col(ts_col)).cast("long") - F.min(F.col(ts_col)).cast("long")
         ).alias("span_seconds"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Batch gap-sessionization: split each conversation's turns into
+    sessions wherever the inter-turn gap exceeds ``gap_seconds``, and
+    roll each session up to
+    (conv_id, session_idx int, n_turns, start_sec, end_sec).
+
+    The batch twin of streaming/sessions.py (applyInPandasWithState):
+    same session boundaries, expressed as lag + running sum of
+    new-session flags — two windows over one conv_id partition (a
+    single shuffle; state bounded by one conversation). Used for
+    at-rest backfills where the streaming operator handles the live
+    path.
+    """
+    ts_sec = F.col(ts_col).cast("long")
+    w = Window.partitionBy(conv_col).orderBy(ts_sec, order_col)
+    new_sess = F.when(
+        F.lag(ts_sec).over(w).isNull()
+        | ((ts_sec - F.lag(ts_sec).over(w)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(conv_col).orderBy(ts_sec, order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = df.withColumn("_new", new_sess).withColumn(
+        "session_idx", (F.sum("_new").over(run) - 1).cast("int")
+    )
+    return tagged.groupBy(
+        F.col(conv_col).alias("conv_id"), "session_idx"
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(ts_sec).alias("start_sec"),
+        F.max(ts_sec).alias("end_sec"),
+    )

@@ -1,0 +1,74 @@
+"""Fuzzy key matching: edit-distance ≤ 1 joins without a cross join.
+
+Entity linking over noisy surface forms (typo'd names, OCR'd aliases)
+needs "join where keys are within edit distance 1" — which Spark
+would otherwise plan as a BroadcastNestedLoopJoin with a
+`levenshtein` residual: quadratic, the classic scale killer.
+
+This operator uses deletion neighborhoods (the FastSS family, cf.
+Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007):
+every string s expands to {s} ∪ {s minus one character}. Two strings
+are within edit distance 1 **only if** their neighborhoods intersect
+(equality shares s; insert/delete shares the shorter string;
+substitution at i shares the common delete-at-i) — so an equi-join on
+the variant finds every candidate, and a `levenshtein ≤ 1` residual
+on the (tiny) candidate set removes the false positives (e.g. "ab" vs
+"ba" share variant "a" but are distance 2).
+
+Scale shape: |variants| = len(s)+1 per key — the join input grows by
+a factor of average key length, but stays an EQUI-join (hash
+partitionable, AQE-skew-splittable), vs the nested-loop's |L|·|R|.
+The candidate verify is a scalar function on matched pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: Column | str) -> Column:
+    """Array of the string itself plus every single-character
+    deletion (index 0 keeps s; index i ≥ 1 deletes character i)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(0), F.length(c), F.lit(1)),
+        lambda i: F.when(i == 0, c).otherwise(
+            F.concat(
+                c.substr(F.lit(1), i - 1),
+                c.substr(i + 1, F.length(c)),
+            )
+        ),
+    )
+
+
+def fuzzy_join_ed1(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """All (left_id, right_id, left_key, right_key, distance) pairs
+    with levenshtein(left_key, right_key) ≤ 1, computed via a
+    deletion-neighborhood equi-join + exact verify (never a nested
+    loop). Self-join callers should filter ``left_id < right_id``."""
+    lv = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(left_key).alias("_lkey"),
+        F.explode(deletion_variants(left_key)).alias("_v"),
+    ).distinct()
+    rv = right.select(
+        F.col(right_id).alias("_rid"),
+        F.col(right_key).alias("_rkey"),
+        F.explode(deletion_variants(right_key)).alias("_v"),
+    ).distinct()
+    cand = lv.join(rv, "_v").select("_lid", "_lkey", "_rid", "_rkey").distinct()
+    return cand.where(F.levenshtein("_lkey", "_rkey") <= 1).select(
+        F.col("_lid").alias(left_id + "_l"),
+        F.col("_rid").alias(right_id + "_r"),
+        F.col("_lkey").alias("key_l"),
+        F.col("_rkey").alias("key_r"),
+        F.levenshtein("_lkey", "_rkey").alias("distance"),
+    )

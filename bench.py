@@ -100,6 +100,11 @@ def main() -> int:
         "near_dup_resolution",
         "corpus_sample",
         "a4_rel_index",
+        "pagerank",
+        "contamination",
+        "seq_packing",
+        "conv_stats",
+        "hll_distinct_users",
     ]
     for name in bench_queries:
         t0 = time.time()
