@@ -65,3 +65,14 @@ def test_sessionize_gap_split(spark):
     assert got[("c1", 1)] == (2, 100)
     assert got[("c2", 0)] == (1, 0)
     assert len(got) == 3
+
+
+def test_fuzzy_join_plans_as_equi_join_not_nested_loop(spark):
+    """The whole point: the deletion-neighborhood join must be a hash
+    equi-join on the variant, never BroadcastNestedLoopJoin with a
+    levenshtein residual."""
+    ldf = spark.createDataFrame([(i, f"name{i}") for i in range(50)], "lid long, name string")
+    out = fuzzy_join_ed1(ldf, ldf, "name", "name", "lid", "lid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # candidate equi-join present
