@@ -1600,6 +1600,41 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
 """
 
 
+def _kcore(spark, sf):
+    """4-core of the mod-500 customer graph by iterative peeling
+    (operators/graph_stats.py kcore); the oracle replays the peel in
+    a recursive CTE with window-function degrees (converges by round
+    ~5; the SQL runs a fixed 40, idempotent past the fixpoint)."""
+    from batch_import_spark.operators.graph_stats import kcore
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 500).alias("src"),
+        F.expr("(c_custkey div 7) % 500").alias("dst"),
+    )
+    return kcore(edges, 4)
+
+
+_KCORE_SQL = """
+WITH RECURSIVE
+raw AS (SELECT c_custkey % 500 AS a, (c_custkey // 7) % 500 AS b FROM customer),
+e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b),
+b2 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+peel AS (
+  SELECT 0 AS iter, u, v FROM b2
+  UNION ALL
+  SELECT iter, u, v FROM (
+    SELECT p.iter + 1 AS iter, p.u, p.v,
+           COUNT(*) OVER (PARTITION BY p.u) AS du,
+           COUNT(*) OVER (PARTITION BY p.v) AS dv
+    FROM peel p WHERE p.iter < 40
+  ) WHERE du >= 4 AND dv >= 4
+)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM peel WHERE iter = 40 GROUP BY u
+"""
+
+
 def _stream_sessions(spark, sf):
     """Stateful streaming sessionization (applyInPandasWithState,
     streaming/sessions.py) over a bounded replay: the planted
@@ -2456,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _triangle_counts,
         "pagerank": _pagerank,
         "bfs_hops": _bfs_hops,
+        "kcore": _kcore,
         "tfidf_terms": _tfidf_terms,
         "corpus_sample": _corpus_sample,
         "corpus_mixture": _corpus_mixture,
@@ -2526,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank": _PAGERANK_SQL,
         "bfs_hops": _BFS_SQL,
+        "kcore": _KCORE_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "corpus_mixture": _CORPUS_MIXTURE_SQL,

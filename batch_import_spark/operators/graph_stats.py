@@ -240,3 +240,48 @@ def bfs_distances(
         frontier, frontier_ids = reached, r_ids
     _unpersist_ids(spark, e_ids | frontier_ids)
     return visited
+
+
+def kcore(
+    df: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree ≥ k), by iterative peeling: drop nodes of degree < k,
+    recompute, repeat to fixpoint. Returns (node, core_degree) —
+    each survivor's degree inside the core.
+
+    Per round: one doubled-edge degree count (map-side combinable)
+    and one semi-join filter — two shuffles on node ids; the edge set
+    only shrinks, so round cost is monotonically decreasing. The loop
+    checkpoint-rotates like connected_components. Peeling converges in
+    at most diameter-ish rounds on real graphs (the loop exits on the
+    first round that removes nothing).
+    """
+    e = undirected_edges(df, src, dst)
+    # doubled edge list: degree(u) = row count with u first
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    spark = df.sparkSession
+    cur, prev_ids = _checkpoint_rotate(spark, both, set())
+    n_prev = cur.count()
+    for _ in range(max_iterations):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        good = deg.where(F.col("d") >= k).select("u")
+        nxt = cur.join(good, "u").join(
+            good.select(F.col("u").alias("v")), "v"
+        ).select("u", "v")
+        nxt, prev_ids = _checkpoint_rotate(spark, nxt, prev_ids)
+        n_now = nxt.count()
+        cur = nxt
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    else:
+        raise RuntimeError(f"kcore: no convergence in {max_iterations} rounds")
+    out = cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    return out

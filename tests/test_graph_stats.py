@@ -90,3 +90,28 @@ def test_bfs_distances_directed_multi_source(spark):
     }
     # 4→3 beats 1→2→3; 2 only via 1
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    from batch_import_spark.operators.graph_stats import kcore
+
+    # K4 {1..4} + pendant chain 4-5-6 + triangle {7,8,9}: the 3-core
+    # is exactly the K4 (triangle nodes have degree 2, chain peels)
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6),
+        (7, 8), (8, 9), (7, 9),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in kcore(df, 3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    got2 = {r["node"]: r["core_degree"] for r in kcore(df, 2).collect()}
+    # 2-core: K4 + triangle (chain 4-5-6 peels off)
+    assert got2 == {1: 3, 2: 3, 3: 3, 4: 3, 7: 2, 8: 2, 9: 2}
+
+
+def test_kcore_empty_when_overdemanding(spark):
+    from batch_import_spark.operators.graph_stats import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert kcore(df, 5).count() == 0
