@@ -1600,6 +1600,57 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
 """
 
 
+def _stream_dedup(spark, sf):
+    """Streaming exact dedup (streaming/dedup_stream.py,
+    dropDuplicatesWithinWatermark) over a bounded replay of the
+    documents table, rolled up per source. Which duplicate survives a
+    single micro-batch is engine-internal, so the oracle-stable output
+    is the per-source surviving-key count — equal to batch
+    COUNT(DISTINCT fingerprint)."""
+    import os
+    import tempfile
+
+    from batch_import_spark.streaming.dedup_stream import (
+        content_fingerprint,
+        streaming_exact_dedup,
+    )
+
+    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_dedup_docs_")
+    os.symlink(
+        os.path.abspath(f"{sf}/documents.parquet"),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .parquet(stream_dir)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 60)
+        )
+        .withColumn("fp", content_fingerprint("text"))
+    )
+    deduped = streaming_exact_dedup(stream, ["source", "fp"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("stream_dedup_out")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+FROM documents GROUP BY source
+"""
+
+
 def _kcore(spark, sf):
     """4-core of the mod-500 customer graph by iterative peeling
     (operators/graph_stats.py kcore); the oracle replays the peel in
@@ -2488,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
         "stream_sessions": _stream_sessions,
+        "stream_dedup": _stream_dedup,
         "triangle_counts": _triangle_counts,
         "pagerank": _pagerank,
         "bfs_hops": _bfs_hops,
@@ -2559,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank": _PAGERANK_SQL,
         "bfs_hops": _BFS_SQL,

@@ -151,3 +151,47 @@ def test_streaming_turn_stats_runs(spark, tmp_path):
     # presence of the query result (even empty) proves the plan runs;
     # role values are sane when present
     assert all(r["role"] in ("user", "assistant", "tool") for r in rows)
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicates across micro-batches inside the watermark horizon are
+    dropped; each key survives exactly once (append mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_import_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = str(tmp_path / "dedup_src")
+    import os
+
+    os.makedirs(src)
+    base_us = 1735689600 * 1_000_000
+
+    def write(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([r[0] for r in rows], pa.string()),
+                    "ts": pa.array([base_us + r[1] * 1_000_000 for r in rows],
+                                   pa.timestamp("us")),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    write("b1.parquet", [("a", 0), ("b", 10), ("a", 20)])   # intra-batch dup
+    write("b2.parquet", [("a", 30), ("c", 40), ("b", 50)])  # cross-batch dups
+    stream = spark.readStream.schema("k string, ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_exact_dedup(stream, ["k"], watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.table("dedup_stream_out").collect())
+    assert got == ["a", "b", "c"]
