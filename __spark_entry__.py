@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # --- flagship ---------------------------------------------------------------
 
@@ -1142,6 +1143,71 @@ SELECT lang, doc_id FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= 5
+"""
+
+
+def _sliding_window_counts(spark, sf):
+    """RANGE-frame sliding window: each event's count of same-user
+    events in the trailing hour (value-range frame, not row frame —
+    the other window-frame family; tie timestamps share a frame, so
+    the result is deterministic without a unique ordering key)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+    # two-step cast equals DuckDB's epoch(naive_ts)
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+_SLIDING_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_hour
+FROM events
+"""
+
+
+def _pivot_counts(spark, sf):
+    """groupBy().pivot() — status × priority order-count matrix; the
+    oracle is the conditional-aggregation unpivot twin."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    pr = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "unspecified",
+        "5-LOW": "low",
+    }
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(pr))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{k}`"), F.lit(0)).cast("long").alias(v)
+        for k, v in pr.items()
+    ]
+    return out.select(*cols)
+
+
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus
 """
 
 
@@ -2523,6 +2589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _set_ops,
         "rollup_counts": _rollup_counts,
         "grouped_quantiles": _grouped_quantiles,
+        "sliding_window_counts": _sliding_window_counts,
+        "pivot_counts": _pivot_counts,
         "cube_counts": _cube_counts,
         "fulltext_lookup": _fulltext_lookup,
         # training-data ops
@@ -2597,6 +2665,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_SQL,
         "rollup_counts": _ROLLUP_SQL,
         "grouped_quantiles": _QUANTILES_SQL,
+        "sliding_window_counts": _SLIDING_SQL,
+        "pivot_counts": _PIVOT_SQL,
         "cube_counts": _CUBE_SQL,
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
