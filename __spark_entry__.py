@@ -1666,6 +1666,46 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
 """
 
 
+def _communities(spark, sf):
+    """Deterministic synchronous label propagation
+    (operators/graph_stats.py label_propagation) on the mod-500
+    customer graph: 4 fixed rounds, min-label tie-break — a pure
+    function of the graph, replayed exactly by the recursive-CTE
+    oracle."""
+    from batch_import_spark.operators.graph_stats import label_propagation
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 500).alias("src"),
+        F.expr("(c_custkey div 7) % 500").alias("dst"),
+    )
+    return label_propagation(edges, iterations=4)
+
+
+_COMMUNITIES_SQL = """
+WITH RECURSIVE
+raw AS (SELECT c_custkey % 500 AS a, (c_custkey // 7) % 500 AS b FROM customer),
+e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b),
+b2 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+lp AS (
+  SELECT 0 AS iter, u AS node, u AS label FROM (SELECT DISTINCT u FROM b2)
+  UNION ALL
+  SELECT iter, node, label FROM (
+    SELECT c.iter, c.node, c.label,
+           ROW_NUMBER() OVER (PARTITION BY c.iter, c.node
+                              ORDER BY c.cnt DESC, c.label ASC) AS rn
+    FROM (
+      SELECT p.iter + 1 AS iter, b2.v AS node, p.label, COUNT(*) AS cnt
+      FROM lp p JOIN b2 ON b2.u = p.node
+      WHERE p.iter < 4
+      GROUP BY 1, 2, 3
+    ) c
+  ) WHERE rn = 1
+)
+SELECT node, label AS community FROM lp WHERE iter = 4
+"""
+
+
 def _stream_dedup(spark, sf):
     """Streaming exact dedup (streaming/dedup_stream.py,
     dropDuplicatesWithinWatermark) over a bounded replay of the
@@ -2612,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _pagerank,
         "bfs_hops": _bfs_hops,
         "kcore": _kcore,
+        "communities": _communities,
         "tfidf_terms": _tfidf_terms,
         "corpus_sample": _corpus_sample,
         "corpus_mixture": _corpus_mixture,
@@ -2686,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _PAGERANK_SQL,
         "bfs_hops": _BFS_SQL,
         "kcore": _KCORE_SQL,
+        "communities": _COMMUNITIES_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "corpus_mixture": _CORPUS_MIXTURE_SQL,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def undirected_edges(df: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -285,3 +286,55 @@ def kcore(
         F.count(F.lit(1)).alias("core_degree")
     )
     return out
+
+
+def label_propagation(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection). Returns (node, community) after a FIXED number of
+    rounds: every node simultaneously adopts its neighbors' most
+    frequent label, ties broken by the smallest label id. Labels start
+    as node ids.
+
+    Classic async LPA is run-order-dependent; the synchronous variant
+    with a total tie-break order is a pure function of the graph, so
+    the DuckDB oracle replays it exactly in a recursive CTE. A fixed
+    round count sidesteps sync-LPA's known 2-cycle oscillation (both
+    engines stop at the same round regardless) and keeps the DAG
+    static — the standard production compromise.
+
+    Per round: one equi-join (labels → doubled edges) + one count
+    groupBy + one rank-limited window (WindowGroupLimit cuts to the
+    argmax below the exchange) — three shuffles on node ids, state one
+    row per node. Checkpoint-rotated like the other iterative ops.
+    """
+    spark = df.sparkSession
+    e = undirected_edges(df, src, dst)
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    both, e_ids = _checkpoint_rotate(spark, both, set())
+    labels = both.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels, prev_ids = _checkpoint_rotate(spark, labels, set())
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        counted = (
+            both.join(labels, both["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels, prev_ids = _checkpoint_rotate(spark, labels, prev_ids)
+    _unpersist_ids(spark, e_ids)
+    return labels.select("node", F.col("label").alias("community"))

@@ -115,3 +115,25 @@ def test_kcore_empty_when_overdemanding(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert kcore(df, 5).count() == 0
+
+
+def test_label_propagation_two_communities(spark):
+    from batch_import_spark.operators.graph_stats import label_propagation
+
+    # two triangles bridged by 3-4: sync LPA with min-tie-break
+    # converges to community 1 = {1,2,3}, community 3 = {4,5,6}
+    # (hand-traced round by round for iterations=4)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, iterations=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_deterministic_under_partitioning(spark):
+    from batch_import_spark.operators.graph_stats import label_propagation
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(11), iterations=3).collect()))
+    assert a == b
