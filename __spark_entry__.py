@@ -1666,6 +1666,31 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
 """
 
 
+def _dedup_incremental(spark, sf):
+    """Incremental-ingest dedup: a landing batch (doc_id % 10 == 0)
+    anti-joined against the at-rest corpus's fingerprint set — the
+    composition a continuously-fed pipeline runs per delivery
+    (operators/dedup.py grain + left_anti). Returns surviving new
+    doc ids."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    fp = F.md5(F.col("text"))
+    incoming = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    existing = d.where(F.col("doc_id") % 10 != 0).select(fp.alias("fp")).distinct()
+    return incoming.join(existing, "fp", "left_anti").select("doc_id")
+
+
+_DEDUP_INCREMENTAL_SQL = """
+SELECT n.doc_id FROM documents n
+WHERE n.doc_id % 10 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents e
+    WHERE e.doc_id % 10 <> 0 AND md5(e.text) = md5(n.text)
+  )
+"""
+
+
 def _communities(spark, sf):
     """Deterministic synchronous label propagation
     (operators/graph_stats.py label_propagation) on the mod-500
@@ -2636,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": _dedup_exact,
         "dedup_groups": _dedup_groups,
+        "dedup_incremental": _dedup_incremental,
         "ann_cosine_topk": _ann_cosine_topk,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
@@ -2712,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
         "dedup_groups": _DEDUPG_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "text_quality": _TEXTQ_SQL,
         "text_fingerprint": _FP_SQL,
