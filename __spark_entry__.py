@@ -1691,6 +1691,62 @@ WHERE n.doc_id % 10 = 0
 """
 
 
+def _entity_resolution(spark, sf):
+    """Entity resolution composite: fuzzy ed≤1 name pairs
+    (deletion-neighborhood equi-join) → connected components → every
+    record mapped to its component's min id (singletons to
+    themselves). Customer names are digit-strings, so the ≤300-key
+    universe forms ONE edit-connected family — deliberately kept: the
+    oracle must propagate the min through a 300-node component
+    (transitive-closure stress), not just local pairs."""
+    from batch_import_spark.operators.canonicalize import connected_components
+    from batch_import_spark.operators.fuzzy import fuzzy_join_ed1
+
+    c = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_name")
+    )
+    pairs = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey")
+    edges = pairs.where(F.col("c_custkey_l") < F.col("c_custkey_r")).select(
+        F.col("c_custkey_l").alias("u"), F.col("c_custkey_r").alias("v")
+    )
+    cc = connected_components(edges)
+    return c.join(
+        cc, c["c_custkey"] == cc["node_id"], "left"
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.coalesce(F.col("component_id"), F.col("c_custkey")).alias("canonical"),
+    )
+
+
+_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE
+c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300),
+p AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+e AS (
+  SELECT ka AS a, kb AS b FROM p
+  UNION SELECT kb, ka FROM p
+  UNION SELECT ka, ka FROM p
+  UNION SELECT kb, kb FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT cc.c_custkey AS custkey,
+       COALESCE(m.canon, cc.c_custkey) AS canonical
+FROM c cc
+LEFT JOIN (SELECT a, MIN(b) AS canon FROM reach GROUP BY a) m
+  ON m.a = cc.c_custkey
+"""
+
+
 def _communities(spark, sf):
     """Deterministic synchronous label propagation
     (operators/graph_stats.py label_propagation) on the mod-500
@@ -2691,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": _conv_stats,
         "batch_sessions": _batch_sessions,
         "fuzzy_name_match": _fuzzy_names,
+        "entity_resolution": _entity_resolution,
         "minhash_near_dups": _minhash_near_dups,
         "near_dup_resolution": _near_dup_resolution,
         "simhash_near_dups": _simhash_near_dups,
@@ -2767,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_stats": _CONV_STATS_SQL,
         "batch_sessions": _BATCH_SESSIONS_SQL,
         "fuzzy_name_match": _FUZZY_SQL,
+        "entity_resolution": _ENTITY_RESOLUTION_SQL,
         "minhash_near_dups": _MINHASH_SQL,
         "near_dup_resolution": _NEAR_DUP_RESOLUTION_SQL,
         "simhash_near_dups": _simhash_oracle_sql(),

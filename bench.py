@@ -105,6 +105,10 @@ def main() -> int:
         "seq_packing",
         "conv_stats",
         "hll_distinct_users",
+        "communities",
+        "kcore",
+        "doc_chunks",
+        "fuzzy_name_match",
     ]
     for name in bench_queries:
         t0 = time.time()
