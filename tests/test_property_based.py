@@ -126,3 +126,97 @@ def test_simhash_block_index_lossless(spark, sigs, k):
         for b in sigs[i + 1:]:
             if bin(a ^ b).count("1") <= k:
                 assert set(blocks(a)) & set(blocks(b)), (a, b, k)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef \n", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk_len=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunking_reconstruction_invariant(spark, texts, chunk_len, overlap):
+    """Chunks at stride offsets cover the document exactly: dropping
+    each chunk's trailing `overlap` chars (except the last chunk's)
+    and concatenating in chunk_idx order reconstructs the text."""
+    from batch_import_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk_len:
+        overlap = chunk_len - 1
+    stride = chunk_len - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(df, chunk_len=chunk_len, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    for doc_id, text in enumerate(texts):
+        chunks = by_doc.get(doc_id, {})
+        if not text:
+            assert chunks == {}
+            continue
+        assert set(chunks) == set(range(len(chunks)))
+        rebuilt = "".join(
+            chunks[i][:stride] for i in range(len(chunks) - 1)
+        ) + chunks[len(chunks) - 1]
+        assert rebuilt == text
+
+
+@settings(**_SETTINGS)
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_fuzzy_join_equals_brute_force(spark, names):
+    """Deletion-neighborhood candidates + levenshtein verify must equal
+    the quadratic ground truth on arbitrary short strings."""
+    from batch_import_spark.operators.fuzzy import fuzzy_join_ed1
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[lb]
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "nid long, name string")
+    got = {
+        (r["nid_l"], r["nid_r"])
+        for r in fuzzy_join_ed1(df, df, "name", "name", "nid", "nid").collect()
+    }
+    want = {
+        (i, j) for i, a in rows for j, b in rows if lev(a, b) <= 1
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    capacity=st.integers(min_value=1, max_value=50),
+)
+def test_packing_capacity_invariant(spark, sizes, capacity):
+    """No pack exceeds capacity unless it is a single oversize item,
+    and every input row lands in exactly one pack."""
+    from batch_import_spark.operators.packing import pack_sequences
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "n", ["doc_id"], capacity=capacity, n_groups=3).collect()
+    assert sorted(r["doc_id"] for r in out) == [i for i, _ in rows]
+    fills: dict[tuple, list] = {}
+    for r in out:
+        fills.setdefault((r["group_id"], r["pack_id"]), []).append(r["size"])
+    for members in fills.values():
+        assert sum(members) <= capacity or len(members) == 1
