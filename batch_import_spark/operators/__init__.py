@@ -35,3 +35,23 @@ from batch_import_spark.operators.fulltext import (  # noqa: F401
     fulltext_lookup,
     tfidf_top_terms,
 )
+from batch_import_spark.operators.graph_stats import (  # noqa: F401
+    bfs_distances,
+    kcore,
+    label_propagation,
+    pagerank,
+)
+from batch_import_spark.operators.packing import (  # noqa: F401
+    chunk_documents,
+    pack_sequences,
+    token_count,
+)
+from batch_import_spark.operators.contamination import ngram_contamination  # noqa: F401
+from batch_import_spark.operators.conversations import (  # noqa: F401
+    assemble_context,
+    conversation_stats,
+    sessionize,
+    tool_transitions,
+)
+from batch_import_spark.operators.fuzzy import deletion_variants, fuzzy_join_ed1  # noqa: F401
+from batch_import_spark.operators.sketches import hll_sketch  # noqa: F401
