@@ -1635,6 +1635,49 @@ SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
 """
 
 
+def _ppr(spark, sf):
+    """Personalized PageRank from reset set {0, 1} — the KG
+    entity-relatedness scorer (teleport mass confined to the seeds;
+    rank = integer-exact proximity to them)."""
+    from batch_import_spark.operators.graph_stats import pagerank
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 50).alias("src"),
+        F.expr("(c_custkey div 7) % 50").alias("dst"),
+    )
+    return pagerank(edges, iterations=6, reset_nodes=[0, 1])
+
+
+_PPR_SQL = """
+WITH RECURSIVE
+raw AS (SELECT c_custkey % 50 AS src, (c_custkey // 7) % 50 AS dst FROM customer),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+ea AS (
+  SELECT e.src, e.dst, CAST(1 AS BIGINT) AS w, o.d FROM e JOIN outd o USING (src)
+  UNION ALL
+  SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, node,
+         CASE WHEN node IN (0, 1) THEN 1000000000000 // 2 ELSE 0 END AS rank
+  FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, ea.dst,
+         CASE WHEN ea.dst IN (0, 1)
+              THEN (15 * 1000000000000) // (100 * 2) ELSE 0 END
+         + CAST(SUM((85 * p.rank * ea.w) // (100 * ea.d)) AS BIGINT)
+  FROM pr p JOIN ea ON ea.src = p.node
+  WHERE p.iter < 6
+  GROUP BY 1, 2
+)
+SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
+"""
+
+
 def _bfs_hops(spark, sf):
     """Frontier BFS hop distances (operators/graph_stats.py
     bfs_distances) on the directed customer graph from sources
@@ -2732,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _stream_dedup,
         "triangle_counts": _triangle_counts,
         "pagerank": _pagerank,
+        "personalized_pagerank": _ppr,
         "bfs_hops": _bfs_hops,
         "kcore": _kcore,
         "communities": _communities,
@@ -2809,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": _STREAM_DEDUP_SQL,
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank": _PAGERANK_SQL,
+        "personalized_pagerank": _PPR_SQL,
         "bfs_hops": _BFS_SQL,
         "kcore": _KCORE_SQL,
         "communities": _COMMUNITIES_SQL,

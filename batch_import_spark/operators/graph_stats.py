@@ -120,6 +120,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 6,
     scale: int = 10**12,
+    reset_nodes: list | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed simple edge list.
 
@@ -135,6 +136,11 @@ def pagerank(
     the same recurrence), no float accumulation order to diverge.
     Dangling-node mass is dropped (the classic simplification); both
     engines drop it identically.
+
+    With ``reset_nodes`` (PERSONALIZED PageRank), the teleport mass
+    goes only to that set R — N above becomes |R| and the base/init
+    terms are zero off R. Ranks then measure proximity to R: the
+    standard KG entity-relatedness / expansion scorer.
 
     Scale shape: outdeg is a map-side-combinable groupBy; the edge
     table is joined to outdeg ONCE and checkpointed; each iteration is
@@ -156,13 +162,20 @@ def pagerank(
         .distinct()
     )
     nodes, node_ids = _checkpoint_rotate(spark, nodes, set())
-    n = nodes.count()
+    if reset_nodes is None:
+        n = nodes.count()
+        in_reset = F.lit(True)
+    else:
+        n = len(set(reset_nodes))
+        in_reset = F.col("node").isin(list(set(reset_nodes)))
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed, ed_ids = _checkpoint_rotate(spark, e.join(outd, "src"), set())
 
     init = scale // n
     base = (15 * scale) // (100 * n)
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    init_col = F.when(in_reset, F.lit(init)).otherwise(F.lit(0))
+    base_col = F.when(in_reset, F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select("node", init_col.cast("long").alias("rank"))
     prev_ids: set = set()
     for _ in range(iterations):
         contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
@@ -172,7 +185,7 @@ def pagerank(
         agg = contribs.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = nodes.join(agg, "node", "left").select(
             "node",
-            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+            (base_col + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
         )
         ranks, prev_ids = _checkpoint_rotate(spark, ranks, prev_ids)
     # the final ranks checkpoint is materialized — the edge/node

@@ -137,3 +137,35 @@ def test_label_propagation_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(11), iterations=3).collect()))
     assert a == b
+
+
+def _py_ppr(edges, resets, iterations, scale=10**12):
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({n for p in e for n in p})
+    outd = {}
+    for s, _ in e:
+        outd[s] = outd.get(s, 0) + 1
+    r = len(set(resets))
+    rank = {v: (scale // r if v in resets else 0) for v in nodes}
+    base = (15 * scale) // (100 * r)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in e:
+            contrib[d] += (85 * rank[s]) // (100 * outd[s])
+        rank = {v: (base if v in resets else 0) + contrib[v] for v in nodes}
+    return rank
+
+
+def test_personalized_pagerank_teleports_to_reset_set(spark):
+    from batch_import_spark.operators.graph_stats import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["pagerank_scaled"]
+        for r in pagerank(df, iterations=4, reset_nodes=[1]).collect()
+    }
+    assert got == _py_ppr(edges, {1}, 4)
+    # proximity ordering: 1's direct successor outranks the far node,
+    # and node 5 (unreachable from 1) holds zero mass
+    assert got[2] > got[3] and got[5] == 0
