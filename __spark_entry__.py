@@ -1390,6 +1390,46 @@ GROUP BY conv_id
 """
 
 
+def _quote_containment(spark, sf):
+    """Quote detection (operators/contamination.py containment_pairs):
+    landing-batch docs whose 3-gram sets are ≥50% contained in some
+    at-rest corpus document — the asymmetric screen that catches a
+    short doc quoted inside a long one where Jaccard stays near 0."""
+    from batch_import_spark.operators.contamination import containment_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return containment_pairs(
+        d.where(F.col("doc_id") % 10 == 0),
+        d.where(F.col("doc_id") % 10 != 0),
+        n=3,
+        min_ppm=500_000,
+    )
+
+
+_QUOTE_CONTAINMENT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 2), ' ') AS ng
+  FROM (SELECT doc_id, tk, UNNEST(generate_series(1, len(tk) - 2, 1)) AS i
+        FROM toks WHERE len(tk) >= 3)
+),
+l AS (SELECT * FROM ng WHERE doc_id % 10 = 0),
+r AS (SELECT * FROM ng WHERE doc_id % 10 <> 0),
+tot AS (SELECT doc_id AS lid, CAST(COUNT(*) AS BIGINT) AS n_left FROM l GROUP BY 1),
+sh AS (SELECT l.doc_id AS lid, r.doc_id AS rid, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM l JOIN r USING (ng) GROUP BY 1, 2)
+SELECT lid, rid, n_shared, n_left,
+       n_shared * 1000000 // n_left AS containment_ppm
+FROM sh JOIN tot USING (lid)
+WHERE n_shared * 1000000 // n_left >= 500000
+"""
+
+
 def _batch_sessions(spark, sf):
     """Batch gap-sessionization (operators/conversations.py
     sessionize) — the at-rest twin of the streaming stateful operator,
@@ -2786,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "seq_packing": _seq_packing,
         "contamination": _contamination,
+        "quote_containment": _quote_containment,
         "tool_transitions": _tool_transitions,
         "context_assembly": _context_assembly,
         "conv_stats": _conv_stats,
@@ -2864,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _DOC_CHUNKS_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "quote_containment": _QUOTE_CONTAINMENT_SQL,
         "tool_transitions": _TOOL_TRANSITIONS_SQL,
         "context_assembly": _CONTEXT_ASSEMBLY_SQL,
         "conv_stats": _CONV_STATS_SQL,

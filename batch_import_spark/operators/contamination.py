@@ -78,3 +78,51 @@ def ngram_contamination(
         "n_total",
         F.expr("n_hit * 1000000L div n_total").alias("contam_ppm"),
     )
+
+
+def containment_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    n: int = 8,
+    min_ppm: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ngram_df: int | None = 10_000,
+) -> DataFrame:
+    """Quote detection: (left_id, right_id, n_shared, n_left,
+    containment_ppm) for every pair where at least ``min_ppm``
+    parts-per-million of LEFT's distinct word n-grams also occur in
+    the RIGHT document — the asymmetric companion to Jaccard
+    (containment ≈ 1 catches a short document quoted inside a long
+    one, where Jaccard stays near 0). The standard screen for
+    benchmark items embedded verbatim in training documents.
+
+    Scale shape: candidate pairs come from an equi-join on the n-gram
+    itself, so cost is Σ_g df_left(g)·df_right(g) — bounded by capping
+    ubiquitous n-grams at ``max_ngram_df`` occurrences on the right
+    (boilerplate n-grams carry no quote signal; the cap is the same
+    hot-key guard as the LSH bucket caps, and None disables it). The
+    count/total aggregation is map-side combinable; no text ever
+    shuffles.
+    """
+    ln = left.select(
+        F.col(id_col).alias("lid"), F.explode(_word_ngrams(text_col, n)).alias("ng")
+    ).distinct()
+    rn = right.select(
+        F.col(id_col).alias("rid"), F.explode(_word_ngrams(text_col, n)).alias("ng")
+    ).distinct()
+    if max_ngram_df is not None:
+        df_counts = rn.groupBy("ng").agg(F.count(F.lit(1)).alias("_df"))
+        rn = rn.join(
+            df_counts.where(F.col("_df") <= max_ngram_df).select("ng"), "ng"
+        )
+    totals = ln.groupBy("lid").agg(F.count(F.lit(1)).alias("n_left"))
+    shared = ln.join(rn, "ng").groupBy("lid", "rid").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        shared.join(totals, "lid")
+        .withColumn("containment_ppm", F.expr("n_shared * 1000000L div n_left"))
+        .where(F.col("containment_ppm") >= min_ppm)
+        .select("lid", "rid", "n_shared", "n_left", "containment_ppm")
+    )
