@@ -1921,6 +1921,36 @@ FROM documents GROUP BY source
 """
 
 
+def _adjacency_lists(spark, sf):
+    """Graph export shape: per-node sorted adjacency list (the
+    grouped-ordered-array aggregation every downstream graph tool
+    ingests), serialized to CSV strings for engine-stable compare."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    from batch_import_spark.operators.graph_stats import undirected_edges
+
+    e = undirected_edges(
+        c.select(
+            (F.col("c_custkey") % 50).alias("src"),
+            F.expr("(c_custkey div 7) % 50").alias("dst"),
+        )
+    )
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return both.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.array_join(F.sort_array(F.collect_list("v")), ",").alias("neighbors"),
+    )
+
+
+_ADJACENCY_SQL = """
+WITH raw AS (SELECT c_custkey % 50 AS a, (c_custkey // 7) % 50 AS b FROM customer),
+e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b),
+b2 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree,
+       array_to_string(list(v ORDER BY v), ',') AS neighbors
+FROM b2 GROUP BY u
+"""
+
+
 def _kcore(spark, sf):
     """4-core of the mod-500 customer graph by iterative peeling
     (operators/graph_stats.py kcore); the oracle replays the peel in
@@ -2819,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": _bfs_hops,
         "kcore": _kcore,
         "communities": _communities,
+        "adjacency_lists": _adjacency_lists,
         "tfidf_terms": _tfidf_terms,
         "corpus_sample": _corpus_sample,
         "corpus_mixture": _corpus_mixture,
@@ -2898,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _BFS_SQL,
         "kcore": _KCORE_SQL,
         "communities": _COMMUNITIES_SQL,
+        "adjacency_lists": _ADJACENCY_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,
         "corpus_mixture": _CORPUS_MIXTURE_SQL,
