@@ -2781,6 +2781,63 @@ FROM b
 """
 
 
+def _media_decode_png(spark, sf):
+    """REAL PNG decode (functions/codecs.py — stdlib zlib inflate +
+    per-row unfilter, all five filter types exercised by the encoder):
+    the fixture pixels follow (x·7+y·3+c·11+id) mod 256, so the DuckDB
+    oracle recomputes the decoded channel sums closed-form with no
+    codec at all. Exact integer equality = the decoder is right."""
+    from batch_import_spark.functions.multimodal import (
+        decode_image_stats,
+        synthesize_png_media,
+    )
+
+    return decode_image_stats(synthesize_png_media(spark, n=24))
+
+
+_MEDIA_PNG_SQL = """
+WITH ids AS (
+  SELECT i AS media_id, CAST(8 + i % 5 AS BIGINT) AS h,
+         CAST(10 + i % 7 AS BIGINT) AS w
+  FROM range(24) t(i)
+),
+ys AS (SELECT media_id, h, w, UNNEST(generate_series(0, h - 1)) AS y FROM ids),
+xs AS (SELECT media_id, h, w, y, UNNEST(generate_series(0, w - 1)) AS x FROM ys)
+SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(SUM((x * 7 + y * 3 + media_id) % 256) AS BIGINT) AS r_sum,
+       CAST(SUM((x * 7 + y * 3 + 11 + media_id) % 256) AS BIGINT) AS g_sum,
+       CAST(SUM((x * 7 + y * 3 + 22 + media_id) % 256) AS BIGINT) AS b_sum
+FROM xs GROUP BY media_id
+"""
+
+
+def _media_decode_wav(spark, sf):
+    """REAL WAV PCM16 decode (stdlib wave): fixture sample_j =
+    ((j·37 + id·101) mod 65536) − 32768; the oracle recomputes the
+    exact integer sample statistics from the formula."""
+    from batch_import_spark.functions.multimodal import (
+        decode_audio_stats,
+        synthesize_wav_media,
+    )
+
+    return decode_audio_stats(synthesize_wav_media(spark, n=24))
+
+
+_MEDIA_WAV_SQL = """
+WITH ids AS (
+  SELECT i AS media_id, CAST(400 + 10 * i AS BIGINT) AS n FROM range(24) t(i)
+),
+js AS (SELECT media_id, n, UNNEST(generate_series(0, n - 1)) AS j FROM ids),
+s AS (SELECT media_id, n, (j * 37 + media_id * 101) % 65536 - 32768 AS v FROM js)
+SELECT media_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(8000 + media_id AS INT) AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(MIN(v) AS INT) AS min_sample,
+       CAST(MAX(v) AS INT) AS max_sample
+FROM s GROUP BY media_id
+"""
+
+
 def _multimodal_features(spark, sf):
     from batch_import_spark.functions.multimodal import extract_features, synthesize_media
 
@@ -2879,8 +2936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": _hll_users,
         "time_rollup": _time_rollup,
         "spatial_bbox_lookup": _spatial_bbox,
-        # rows-only (media fixture is synthesized, not a parquet view)
+        # media fixtures are synthesized (not parquet views); the PNG/WAV
+        # entries use REAL stdlib codecs with closed-form formula oracles
         "multimodal_features": _multimodal_features,
+        "media_decode_png": _media_decode_png,
+        "media_decode_wav": _media_decode_wav,
     }
 
 
@@ -2960,4 +3020,6 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _TIME_ROLLUP_SQL,
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
+        "media_decode_png": _MEDIA_PNG_SQL,
+        "media_decode_wav": _MEDIA_WAV_SQL,
     }
