@@ -130,6 +130,44 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: single-scan filtered aggregate in integer
+    micro-units — the filters (date range, discount band, quantity
+    cap) all push to the parquet scan; one partial+final agg, no
+    shuffle of row data. The discount band is expressed in micro-units
+    (500..700), engine-exact."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_quantity") < 24)
+        )
+        .where(_u4("l_discount").between(500, 700))
+        .agg(
+            F.sum(
+                F.expr(
+                    "(FLOOR(l_extendedprice * 10000) * FLOOR(l_discount * 10000)) DIV 10000"
+                )
+            ).alias("revenue_u4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(SUM((CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)
+                 * CAST(FLOOR(l_discount * 10000) AS BIGINT)) // 10000) AS BIGINT)
+         AS revenue_u4,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_quantity < 24
+  AND CAST(FLOOR(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700
+"""
+
+
 def _q3_revenue_topk(spark, sf):
     c = spark.read.parquet(f"{sf}/customer.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -2874,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine capability (aggregations/windows/sets/rollup/topk)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_revenue_topk": _q3_revenue_topk,
+        "q6_forecast_revenue": _q6_forecast_revenue,
         "q5_local_supplier_volume": _q5_local_supplier_volume,
         "w1_window_running": _w1_window_running,
         "topk_per_group": _topk_per_group,
@@ -2959,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _CC_SQL,
         "q1_pricing_summary": _Q1_SQL,
         "q3_revenue_topk": _Q3_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
         "q5_local_supplier_volume": _Q5_SQL,
         "w1_window_running": _W1_SQL,
         "topk_per_group": _TOPK_SQL,
