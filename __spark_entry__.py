@@ -1184,6 +1184,31 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _salted_join_counts(spark, sf):
+    """Skew-defused salted join (operators/skew.py): events (hot
+    event_type keys) joined to a small dim on (key, salt) — result
+    provably identical to the plain join the oracle runs."""
+    from batch_import_spark.operators.skew import salted_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "event_type")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.concat(F.lit("type:"), F.col("event_type")).alias("label"),
+        )
+    )
+    joined = salted_join(e, dim, ["event_type"], n_salts=8)
+    return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_SALTED_JOIN_SQL = """
+SELECT 'type:' || event_type AS label, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def _sliding_window_counts(spark, sf):
     """RANGE-frame sliding window: each event's count of same-user
     events in the trailing hour (value-range frame, not row frame —
@@ -2921,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _grouped_quantiles,
         "sliding_window_counts": _sliding_window_counts,
         "pivot_counts": _pivot_counts,
+        "salted_join_counts": _salted_join_counts,
         "cube_counts": _cube_counts,
         "fulltext_lookup": _fulltext_lookup,
         # training-data ops
@@ -3007,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": _QUANTILES_SQL,
         "sliding_window_counts": _SLIDING_SQL,
         "pivot_counts": _PIVOT_SQL,
+        "salted_join_counts": _SALTED_JOIN_SQL,
         "cube_counts": _CUBE_SQL,
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
