@@ -1453,6 +1453,39 @@ GROUP BY conv_id
 """
 
 
+def _cooccurrence(spark, sf):
+    """Term co-occurrence with integer lift (operators/cooccur.py):
+    which tokens appear together above chance — the association-mining
+    base signal for KG relation discovery, log-free so it hashes
+    identically cross-engine."""
+    from batch_import_spark.operators.cooccur import cooccurrence_lift
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return cooccurrence_lift(d, min_count=5)
+
+
+_COOCCURRENCE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   x -> x <> '')) AS ts
+  FROM documents
+),
+ok AS (SELECT doc_id, ts FROM toks WHERE len(ts) BETWEEN 1 AND 200),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ok),
+term AS (SELECT doc_id, UNNEST(ts) AS t FROM ok),
+nt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM term GROUP BY t),
+p AS (
+  SELECT a.t AS term_a, b.t AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM term a JOIN term b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT term_a, term_b, n_ab, na.n AS n_a, nb.n AS n_b,
+       n_ab * (SELECT nd FROM n) * 1000000 // (na.n * nb.n) AS lift_ppm
+FROM p JOIN nt na ON na.t = p.term_a JOIN nt nb ON nb.t = p.term_b
+"""
+
+
 def _quote_containment(spark, sf):
     """Quote detection (operators/contamination.py containment_pairs):
     landing-batch docs whose 3-gram sets are ≥50% contained in some
@@ -2980,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": _seq_packing,
         "contamination": _contamination,
         "quote_containment": _quote_containment,
+        "cooccurrence_lift": _cooccurrence,
         "tool_transitions": _tool_transitions,
         "context_assembly": _context_assembly,
         "conv_stats": _conv_stats,
@@ -3065,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing": _SEQ_PACKING_SQL,
         "contamination": _CONTAMINATION_SQL,
         "quote_containment": _QUOTE_CONTAINMENT_SQL,
+        "cooccurrence_lift": _COOCCURRENCE_SQL,
         "tool_transitions": _TOOL_TRANSITIONS_SQL,
         "context_assembly": _CONTEXT_ASSEMBLY_SQL,
         "conv_stats": _CONV_STATS_SQL,
