@@ -1184,6 +1184,80 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _time_decay_scores(spark, sf):
+    """Recency-weighted per-user engagement: value·2^(−age_weeks),
+    carried as integer bit-shifts (weight = 65536 >> age_weeks,
+    clamped) — exponential decay with NO floating point, so the score
+    is engine-exact. The decay anchor is the corpus max timestamp."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    anchor = e.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("_anchor")
+    )
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    age_w = F.least(
+        F.floor((F.col("_anchor") - ts_sec) / 604800).cast("int"), F.lit(16)
+    )
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    w = F.expr("shiftright(65536, age_weeks)")
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select("user_id", cents.alias("cents"), age_w.alias("age_weeks"))
+        .select("user_id", (F.col("cents") * w).alias("wv"))
+        .groupBy("user_id")
+        .agg(F.sum("wv").alias("decayed_score_u"))
+    )
+
+
+_TIME_DECAY_SQL = """
+WITH anchor AS (SELECT MAX(epoch(ts)) AS a FROM events),
+t AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         LEAST(CAST(FLOOR(((SELECT a FROM anchor) - epoch(ts)) / 604800) AS INT), 16)
+           AS age_weeks
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(cents * (65536 >> age_weeks)) AS BIGINT) AS decayed_score_u
+FROM t GROUP BY user_id
+"""
+
+
+def _feature_minmax(spark, sf):
+    """Per-group min-max feature normalization to integer ppm —
+    the standard ML feature-scaling pass, exact in fixed point
+    (constant-value groups normalize to 0 by convention)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    w = Window.partitionBy("event_type")
+    t = e.select("event_id", "event_type", cents.alias("c")).select(
+        "event_id",
+        "event_type",
+        "c",
+        F.min("c").over(w).alias("mn"),
+        F.max("c").over(w).alias("mx"),
+    )
+    norm = F.when(
+        F.col("mx") > F.col("mn"),
+        F.expr("(c - mn) * 1000000L div (mx - mn)"),
+    ).otherwise(F.lit(0))
+    return t.select("event_id", "event_type", norm.cast("long").alias("v_norm_ppm"))
+
+
+_FEATURE_MINMAX_SQL = """
+WITH t AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mn,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mx
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(CASE WHEN mx > mn THEN (c - mn) * 1000000 // (mx - mn) ELSE 0 END
+            AS BIGINT) AS v_norm_ppm
+FROM t
+"""
+
+
 def _salted_join_counts(spark, sf):
     """Skew-defused salted join (operators/skew.py): events (hot
     event_type keys) joined to a small dim on (key, salt) — result
@@ -2980,6 +3054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_counts": _sliding_window_counts,
         "pivot_counts": _pivot_counts,
         "salted_join_counts": _salted_join_counts,
+        "time_decay_scores": _time_decay_scores,
+        "feature_minmax_norm": _feature_minmax,
         "cube_counts": _cube_counts,
         "fulltext_lookup": _fulltext_lookup,
         # training-data ops
@@ -3068,6 +3144,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_counts": _SLIDING_SQL,
         "pivot_counts": _PIVOT_SQL,
         "salted_join_counts": _SALTED_JOIN_SQL,
+        "time_decay_scores": _TIME_DECAY_SQL,
+        "feature_minmax_norm": _FEATURE_MINMAX_SQL,
         "cube_counts": _CUBE_SQL,
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
