@@ -1888,6 +1888,51 @@ SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
 """
 
 
+def _weighted_pagerank(spark, sf):
+    """Weighted PageRank (operators/graph_stats.py pagerank_weighted):
+    edge weights are the (src,dst) multiplicities over customers —
+    mass splits proportionally to weight, all arithmetic BIGINT."""
+    from batch_import_spark.operators.graph_stats import pagerank_weighted
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 50).alias("src"),
+        F.expr("(c_custkey div 7) % 50").alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    return pagerank_weighted(edges, iterations=6)
+
+
+_WEIGHTED_PAGERANK_SQL = """
+WITH RECURSIVE
+raw AS (SELECT c_custkey % 50 AS src, (c_custkey // 7) % 50 AS dst FROM customer),
+e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM raw WHERE src <> dst GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY src),
+consts AS (SELECT 1000000000000 // COUNT(*) AS init,
+                  (15 * 1000000000000) // (100 * COUNT(*)) AS base
+           FROM nodes),
+ea AS (
+  SELECT e.src, e.dst, e.w, o.tw FROM e JOIN outw o USING (src)
+  UNION ALL
+  SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, node, (SELECT init FROM consts) AS rank FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, ea.dst,
+         (SELECT base FROM consts)
+         + CAST(SUM((85 * p.rank * ea.w) // (100 * ea.tw)) AS BIGINT)
+  FROM pr p JOIN ea ON ea.src = p.node
+  WHERE p.iter < 6
+  GROUP BY 1, 2
+)
+SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
+"""
+
+
 def _bfs_hops(spark, sf):
     """Frontier BFS hop distances (operators/graph_stats.py
     bfs_distances) on the directed customer graph from sources
@@ -3077,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _triangle_counts,
         "pagerank": _pagerank,
         "personalized_pagerank": _ppr,
+        "weighted_pagerank": _weighted_pagerank,
         "bfs_hops": _bfs_hops,
         "kcore": _kcore,
         "communities": _communities,
@@ -3165,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank": _PAGERANK_SQL,
         "personalized_pagerank": _PPR_SQL,
+        "weighted_pagerank": _WEIGHTED_PAGERANK_SQL,
         "bfs_hops": _BFS_SQL,
         "kcore": _KCORE_SQL,
         "communities": _COMMUNITIES_SQL,

@@ -351,3 +351,63 @@ def label_propagation(
         labels, prev_ids = _checkpoint_rotate(spark, labels, prev_ids)
     _unpersist_ids(spark, e_ids)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def pagerank_weighted(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 6,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Integer-exact PageRank with BIGINT edge weights (e.g. triple
+    occurrence counts from the KG aggregate): a node's outgoing mass
+    splits proportionally to weight,
+
+        contrib(u→v) = (85 · rank(u) · w_uv) div (100 · W_u),
+
+    W_u = Σ out-weights of u (column ``tw`` internally). Same fixed-point discipline and
+    per-iteration shape as ``pagerank`` (one equi-join + one groupBy
+    per round); the oracle replays the identical recurrence.
+    """
+    spark = df.sparkSession
+    e = (
+        df.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .where(F.col(src) != F.col(dst))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes, node_ids = _checkpoint_rotate(spark, nodes, set())
+    n = nodes.count()
+    # "tw" not "W": Spark resolves identifiers case-insensitively by
+    # default, so w/W in one schema is AMBIGUOUS_REFERENCE
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    ed, ed_ids = _checkpoint_rotate(spark, e.join(outw, "src"), set())
+
+    init = scale // n
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    prev_ids: set = set()
+    for _ in range(iterations):
+        contribs = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("(85 * rank * w) div (100 * tw)").alias("c"),
+        )
+        agg = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(agg, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("rank"),
+        )
+        ranks, prev_ids = _checkpoint_rotate(spark, ranks, prev_ids)
+    _unpersist_ids(spark, ed_ids | node_ids)
+    return ranks.select("node", F.col("rank").alias("pagerank_scaled"))

@@ -169,3 +169,47 @@ def test_personalized_pagerank_teleports_to_reset_set(spark):
     # proximity ordering: 1's direct successor outranks the far node,
     # and node 5 (unreachable from 1) holds zero mass
     assert got[2] > got[3] and got[5] == 0
+
+
+def _py_wpr(edges_w, iterations, scale=10**12):
+    agg = {}
+    for s, d, w in edges_w:
+        if s != d:
+            agg[(s, d)] = agg.get((s, d), 0) + w
+    nodes = sorted({n for p in agg for n in p})
+    n = len(nodes)
+    W = {}
+    for (s, _), w in agg.items():
+        W[s] = W.get(s, 0) + w
+    rank = {v: scale // n for v in nodes}
+    base = (15 * scale) // (100 * n)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), w in agg.items():
+            contrib[d] += (85 * rank[s] * w) // (100 * W[s])
+        rank = {v: base + contrib[v] for v in nodes}
+    return rank
+
+
+def test_weighted_pagerank_matches_recurrence(spark):
+    from batch_import_spark.operators.graph_stats import pagerank_weighted
+
+    edges = [(1, 2, 5), (1, 3, 1), (2, 3, 2), (3, 1, 4), (1, 2, 3)]  # dup edge sums
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["pagerank_scaled"]
+        for r in pagerank_weighted(df, iterations=4).collect()
+    }
+    assert got == _py_wpr(edges, 4)
+
+    # acyclic star: the weight split is the ONLY mass difference, so
+    # the heavy edge's target must outrank the light one
+    star = [(1, 2, 9), (1, 3, 1)]
+    got2 = {
+        r["node"]: r["pagerank_scaled"]
+        for r in pagerank_weighted(
+            spark.createDataFrame(star, "src long, dst long, w long"), iterations=3
+        ).collect()
+    }
+    assert got2 == _py_wpr(star, 3)
+    assert got2[2] > got2[3]
