@@ -1184,6 +1184,29 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _value_histogram(spark, sf):
+    """Fixed-bin histogram per event_type (integer bucket arithmetic —
+    the groupBy is map-side combinable, output is bins × types)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    bucket = F.expr(
+        "LEAST((GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0L) * 20) div 10000, 19L)"
+    )
+    return (
+        e.select("event_type", bucket.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(LEAST((GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) * 20) // 10000, 19)
+            AS INT) AS bucket,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def _time_decay_scores(spark, sf):
     """Recency-weighted per-user engagement: value·2^(−age_weeks),
     carried as integer bit-shifts (weight = 65536 >> age_weeks,
@@ -3101,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_counts": _salted_join_counts,
         "time_decay_scores": _time_decay_scores,
         "feature_minmax_norm": _feature_minmax,
+        "value_histogram": _value_histogram,
         "cube_counts": _cube_counts,
         "fulltext_lookup": _fulltext_lookup,
         # training-data ops
@@ -3192,6 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_counts": _SALTED_JOIN_SQL,
         "time_decay_scores": _TIME_DECAY_SQL,
         "feature_minmax_norm": _FEATURE_MINMAX_SQL,
+        "value_histogram": _VALUE_HISTOGRAM_SQL,
         "cube_counts": _CUBE_SQL,
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
