@@ -55,3 +55,11 @@ from batch_import_spark.operators.conversations import (  # noqa: F401
 )
 from batch_import_spark.operators.fuzzy import deletion_variants, fuzzy_join_ed1  # noqa: F401
 from batch_import_spark.operators.sketches import hll_sketch  # noqa: F401
+from batch_import_spark.operators.graph_stats import pagerank_weighted  # noqa: F401
+from batch_import_spark.operators.skew import salted_join  # noqa: F401
+from batch_import_spark.operators.cooccur import cooccurrence_lift  # noqa: F401
+from batch_import_spark.operators.layout import (  # noqa: F401
+    read_time_range,
+    write_time_partitioned,
+)
+from batch_import_spark.operators.contamination import containment_pairs  # noqa: F401

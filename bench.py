@@ -109,6 +109,9 @@ def main() -> int:
         "kcore",
         "doc_chunks",
         "fuzzy_name_match",
+        "cooccurrence_lift",
+        "quote_containment",
+        "weighted_pagerank",
     ]
     for name in bench_queries:
         t0 = time.time()
