@@ -1591,11 +1591,16 @@ def _quote_containment(spark, sf):
     from batch_import_spark.operators.contamination import containment_pairs
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
+    # df cap 500: inert at the oracle scales (corpus ≤ 450 docs at
+    # sf0.01, so no n-gram can exceed it — results stay oracle-exact)
+    # but live at bench sf0.1+, where ubiquitous trigrams would
+    # otherwise quadratically inflate the candidate join
     return containment_pairs(
         d.where(F.col("doc_id") % 10 == 0),
         d.where(F.col("doc_id") % 10 != 0),
         n=3,
         min_ppm=500_000,
+        max_ngram_df=500,
     )
 
 
