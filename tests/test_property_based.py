@@ -220,3 +220,44 @@ def test_packing_capacity_invariant(spark, sizes, capacity):
         fills.setdefault((r["group_id"], r["pack_id"]), []).append(r["size"])
     for members in fills.values():
         assert sum(members) <= capacity or len(members) == 1
+
+
+@settings(**_SETTINGS)
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    gap_limit=st.integers(min_value=1, max_value=3000),
+)
+def test_sessionize_equals_sequential_replay(spark, gaps, gap_limit):
+    """Batch gap-sessionization must equal the obvious sequential
+    scan for any gap sequence and threshold."""
+    import datetime
+
+    from batch_import_spark.operators.conversations import sessionize
+
+    base = datetime.datetime(2025, 1, 1)
+    ts, t = [], 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    rows = [
+        ("c", i, base + datetime.timedelta(seconds=s)) for i, s in enumerate(ts)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        (r["session_idx"]): (r["n_turns"], r["start_sec"], r["end_sec"])
+        for r in sessionize(df, gap_seconds=gap_limit).collect()
+    }
+    # sequential replay
+    base_sec = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    sessions, cur = [], [ts[0]]
+    for prev, nxt in zip(ts, ts[1:]):
+        if nxt - prev > gap_limit:
+            sessions.append(cur)
+            cur = []
+        cur.append(nxt)
+    sessions.append(cur)
+    want = {
+        i: (len(s), base_sec + s[0], base_sec + s[-1])
+        for i, s in enumerate(sessions)
+    }
+    assert got == want
