@@ -1184,6 +1184,56 @@ SELECT lang, doc_id FROM (
 """
 
 
+def _interval_coverage(spark, sf):
+    """Union-of-intervals coverage per user (total seconds covered by
+    possibly-overlapping activity intervals) — the sweep-line as one
+    window: each interval contributes max(0, end − max(start,
+    running_max_end_before)). The SUM is invariant to tie order, so
+    the result is engine-exact; one shuffle on user_id. Complements
+    the as-of and range joins in the interval-algebra family."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    s = F.col("ts").cast("timestamp").cast("long")
+    dur = F.expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0L) % 3600 + 60")
+    t = e.select("user_id", s.alias("s"), (s + dur).alias("e"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w)
+    contrib = F.greatest(
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(prev_max, F.col("s"))),
+        F.lit(0),
+    )
+    return (
+        t.select("user_id", contrib.alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("covered_seconds"))
+    )
+
+
+_INTERVAL_COVERAGE_SQL = """
+WITH t AS (
+  -- FLOOR(epoch): DuckDB epoch() is fractional seconds; Spark's
+  -- cast-to-long truncates — match it (ts are non-negative)
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           + GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) % 3600 + 60 AS e
+  FROM events
+),
+sw AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM t
+)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0)) AS BIGINT)
+         AS covered_seconds
+FROM sw GROUP BY user_id
+"""
+
+
 def _value_histogram(spark, sf):
     """Fixed-bin histogram per event_type (integer bucket arithmetic —
     the groupBy is map-side combinable, output is bins × types)."""
@@ -1232,11 +1282,14 @@ def _time_decay_scores(spark, sf):
 
 
 _TIME_DECAY_SQL = """
-WITH anchor AS (SELECT MAX(epoch(ts)) AS a FROM events),
+WITH anchor AS (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS a FROM events),
 t AS (
+  -- FLOOR(epoch): match Spark's truncating cast-to-long exactly, so
+  -- week boundaries cannot flip on fractional seconds
   SELECT user_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
-         LEAST(CAST(FLOOR(((SELECT a FROM anchor) - epoch(ts)) / 604800) AS INT), 16)
+         LEAST(CAST(FLOOR(((SELECT a FROM anchor)
+                           - CAST(FLOOR(epoch(ts)) AS BIGINT)) / 604800) AS INT), 16)
            AS age_weeks
   FROM events
 )
@@ -1330,7 +1383,7 @@ def _sliding_window_counts(spark, sf):
 _SLIDING_SQL = """
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
+         PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS n_last_hour
 FROM events
@@ -3130,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay_scores": _time_decay_scores,
         "feature_minmax_norm": _feature_minmax,
         "value_histogram": _value_histogram,
+        "interval_coverage": _interval_coverage,
         "cube_counts": _cube_counts,
         "fulltext_lookup": _fulltext_lookup,
         # training-data ops
@@ -3222,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "time_decay_scores": _TIME_DECAY_SQL,
         "feature_minmax_norm": _FEATURE_MINMAX_SQL,
         "value_histogram": _VALUE_HISTOGRAM_SQL,
+        "interval_coverage": _INTERVAL_COVERAGE_SQL,
         "cube_counts": _CUBE_SQL,
         "fulltext_lookup": _FULLTEXT_SQL,
         "dedup_exact": _DEDUP_SQL,
