@@ -1681,6 +1681,52 @@ WHERE n_shared * 1000000 // n_left >= 500000
 """
 
 
+def _sft_pairs(spark, sf):
+    """SFT pair mining over transcripts: adjacent user→assistant turn
+    pairs (the instruction-tuning extraction every dialogue corpus
+    feeds through) — one LEAD window per conversation, emitting the
+    prompt/response texts plus integer length features."""
+    t = _conv_table(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    paired = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("text").over(w).alias("next_text"),
+        F.lead("turn_idx").over(w).alias("next_idx"),
+    )
+    return paired.where(
+        (F.col("role") == "user") & (F.col("next_role") == "assistant")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("prompt_idx"),
+        F.col("next_idx").alias("response_idx"),
+        F.col("text").alias("prompt"),
+        F.col("next_text").alias("response"),
+        F.length("text").alias("prompt_chars"),
+        F.length("next_text").alias("response_chars"),
+    )
+
+
+_SFT_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text,
+         LEAD(role) OVER w AS next_role,
+         LEAD(text) OVER w AS next_text,
+         LEAD(turn_idx) OVER w AS next_idx
+  FROM ({_CONV_SQL})
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx AS prompt_idx, next_idx AS response_idx,
+       text AS prompt, next_text AS response,
+       CAST(length(text) AS INT) AS prompt_chars,
+       CAST(length(next_text) AS INT) AS response_chars
+FROM t WHERE role = 'user' AND next_role = 'assistant'
+"""
+
+
 def _batch_sessions(spark, sf):
     """Batch gap-sessionization (operators/conversations.py
     sessionize) — the at-rest twin of the streaming stateful operator,
@@ -3223,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_assembly": _context_assembly,
         "conv_stats": _conv_stats,
         "batch_sessions": _batch_sessions,
+        "sft_pairs": _sft_pairs,
         "fuzzy_name_match": _fuzzy_names,
         "entity_resolution": _entity_resolution,
         "minhash_near_dups": _minhash_near_dups,
@@ -3314,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
         "context_assembly": _CONTEXT_ASSEMBLY_SQL,
         "conv_stats": _CONV_STATS_SQL,
         "batch_sessions": _BATCH_SESSIONS_SQL,
+        "sft_pairs": _SFT_PAIRS_SQL,
         "fuzzy_name_match": _FUZZY_SQL,
         "entity_resolution": _ENTITY_RESOLUTION_SQL,
         "minhash_near_dups": _MINHASH_SQL,
