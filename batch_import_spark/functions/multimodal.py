@@ -88,14 +88,25 @@ def decode_media(payload: bytes, kind: str, strict: bool = False) -> np.ndarray:
     otherwise a deterministic fake derived from the payload bytes
     keeps downstream shape/typing exercised.
     """
+    import wave
+
     from batch_import_spark.functions.codecs import png_decode, wav_decode
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        px = png_decode(payload)
-        return px.reshape(-1, px.shape[2]).astype(np.float32)
+        try:
+            px = png_decode(payload)
+            return px.reshape(-1, px.shape[2]).astype(np.float32)
+        except ValueError:
+            # in-format but unsupported payload (interlaced / paletted /
+            # 16-bit PNG) falls through to the strict-check / fake path,
+            # same as formats with no native codec
+            pass
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        arr, _rate = wav_decode(payload)
-        return (arr.astype(np.float32) / 32768.0).reshape(-1, arr.shape[1])
+        try:
+            arr, _rate = wav_decode(payload)
+            return (arr.astype(np.float32) / 32768.0).reshape(-1, arr.shape[1])
+        except (ValueError, EOFError, wave.Error):
+            pass  # non-PCM16 / truncated WAV → stub path
     if strict and not _HAVE_CODECS:
         raise NotImplementedError(
             f"no codec available for kind={kind!r} payload; PNG/WAV decode "
@@ -136,7 +147,8 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 RESIZE_SCHEMA = (
-    "media_id long, kind string, out_w int, out_h int, n_bytes_in int, resized binary"
+    "media_id long, kind string, out_w int, out_h int, channels int, "
+    "n_bytes_in int, resized binary"
 )
 
 
@@ -144,10 +156,15 @@ def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFram
     """Resize plan: Arrow-batched kernel producing fixed-size thumbnails.
 
     PNG payloads get a REAL nearest-neighbor pixel resize (decode via
-    functions/codecs.py, grid-index, raw RGB bytes out). Payloads in
-    formats that need external codecs fall back to the deterministic
-    byte-subsample fake — the Spark-side contract (schema, batching,
-    binary output column, partition sizing) is identical either way.
+    functions/codecs.py, grid-index) normalized to 3-channel RGB —
+    gray is expanded, alpha dropped — so every decoded thumbnail is
+    exactly ``out_h*out_w*3`` bytes regardless of the source's channel
+    count. Payloads in formats that need external codecs (and PNGs the
+    native decoder rejects) fall back to the deterministic
+    byte-subsample fake at 1 "channel" (``out_h*out_w`` bytes). The
+    ``channels`` output column records which, so downstream consumers
+    can derive the payload length as ``out_h*out_w*channels`` instead
+    of assuming one fixed size.
     """
     import numpy as np
     import pandas as pd
@@ -157,19 +174,29 @@ def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFram
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = out_w * out_h
         for pdf in batches:
-            outs, sizes = [], []
+            outs, sizes, chans = [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 sizes.append(len(b))
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        px = png_decode(b)
+                    except ValueError:
+                        px = None  # unsupported PNG flavor → fake path
+                    if px is not None:
+                        if px.shape[2] == 1:
+                            px = np.repeat(px, 3, axis=2)
+                        elif px.shape[2] == 4:
+                            px = px[:, :, :3]
+                        h, w, _ = px.shape
+                        yi = (np.arange(out_h) * h) // out_h
+                        xi = (np.arange(out_w) * w) // out_w
+                        outs.append(px[yi][:, xi].tobytes())
+                        chans.append(3)
+                        continue
+                chans.append(1)
                 if not b:
                     outs.append(bytes(size))
-                    continue
-                if b[:8] == b"\x89PNG\r\n\x1a\n":
-                    px = png_decode(b)
-                    h, w, _ = px.shape
-                    yi = (np.arange(out_h) * h) // out_h
-                    xi = (np.arange(out_w) * w) // out_w
-                    outs.append(px[yi][:, xi].tobytes())
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8)
                 idx = (np.arange(size) * len(arr)) // size
@@ -180,6 +207,7 @@ def resize_media(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFram
                     "kind": pdf["kind"],
                     "out_w": out_w,
                     "out_h": out_h,
+                    "channels": chans,
                     "n_bytes_in": sizes,
                     "resized": outs,
                 }

@@ -51,8 +51,12 @@ def bucketed_join(
     Plain ``join`` — the point is what Catalyst does with it: with
     both scans reporting the same bucket partitioning, the plan has no
     Exchange under the join (tests assert this on the physical plan).
-    Broadcast would hide the property, so it's disabled per-join via
-    hints only when Spark would otherwise broadcast a small side.
+    The ``merge`` hint is applied UNCONDITIONALLY to both sides: a
+    broadcast join would hide the exchange-free property this function
+    exists to provide (and to let tests assert), so even a
+    would-be-broadcast small side goes through the zero-exchange
+    sort-merge path. Callers who prefer broadcast for a small side
+    should just ``join`` the tables directly.
     """
     left = spark.table(left_table)
     right = spark.table(right_table)

@@ -15,10 +15,19 @@ member rows) → filter to the hot buckets (by definition few: at most
 frame. No window function, so the degenerate bucket's members are
 never gathered into one task even to be counted.
 
-"No silent caps": the guard is OFF by default (``max_bucket_size=
-None`` keeps candidate generation lossless, which is what the exact
-oracles check); when enabled it eagerly aggregates the drop stats
-(one tiny 1-row job) and logs them at WARNING, returning them too.
+"No silent caps", two postures:
+
+- ``eager_stats=True`` (the default of this function): aggregate the
+  drop stats up front (one tiny 1-row job), log them at WARNING, and
+  return them. The extra job re-evaluates ``df``'s lineage once — at
+  scale that is a second pass over the signature computation, the
+  price of exact drop counts.
+- ``eager_stats=False`` (what the near-dup operators use for their
+  *default-on* caps): build the anti-join lazily into the caller's
+  plan — no driver job, no lineage recompute beyond the in-plan
+  count branch — and return ``stats=None``. Drop counts are then the
+  caller's responsibility (count before/after, or re-run with
+  ``eager_stats=True`` when auditing); the operators document this.
 """
 
 from __future__ import annotations
@@ -44,16 +53,26 @@ def cap_hot_buckets(
     df: DataFrame,
     bucket_cols: list[str],
     max_bucket_size: int,
-) -> tuple[DataFrame, BucketCapStats]:
+    eager_stats: bool = True,
+) -> tuple[DataFrame, BucketCapStats | None]:
     """Drop every bucket with more than ``max_bucket_size`` member rows.
 
-    Returns the filtered frame plus the drop stats (also logged).
-    Intended to sit directly above a bucket self-join: a dropped
-    bucket of size m removes m·(m-1)/2 candidate pairs — callers
-    trade that (documented, counted) recall loss for a bounded join.
+    Returns the filtered frame plus the drop stats (also logged), or
+    ``stats=None`` with ``eager_stats=False`` (lazy in-plan guard, no
+    driver job — see module docstring). Intended to sit directly above
+    a bucket self-join: a dropped bucket of size m removes m·(m-1)/2
+    candidate pairs — callers trade that (documented, counted) recall
+    loss for a bounded join.
     """
     counts = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_n"))
     hot = counts.where(F.col("_n") > max_bucket_size)
+    if not eager_stats:
+        # hot side is tiny by construction (≤ n_rows / cap buckets):
+        # broadcast anti-join folds into the caller's single action.
+        return (
+            df.join(F.broadcast(hot.select(*bucket_cols)), bucket_cols, "left_anti"),
+            None,
+        )
     row = hot.agg(
         F.count(F.lit(1)).alias("nb"),
         F.coalesce(F.sum("_n"), F.lit(0)).alias("nr"),

@@ -65,7 +65,16 @@ def cooccurrence_lift(
             "n_ab",
             "n_a",
             "n_b",
-            F.expr(f"n_ab * {n_docs}L * 1000000L div (n_a * n_b)").alias("lift_ppm"),
+            # the numerator n_ab·N·10^6 overflows int64 once n_ab·N
+            # exceeds ~9.2e12 (a common pair in a 10^7-doc corpus), so
+            # the product is computed in DECIMAL(38,0) — exact up to
+            # 10^38, far beyond any corpus — and only the quotient
+            # (≤ 10^6·N / max(n_a,n_b), int64-safe for any corpus under
+            # ~1.8e13 docs) is narrowed back to BIGINT by `div`
+            F.expr(
+                f"CAST(n_ab AS DECIMAL(38,0)) * {n_docs} * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ).alias("lift_ppm"),
         )
     )
     return out

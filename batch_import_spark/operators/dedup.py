@@ -159,7 +159,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     threshold: float = 0.8,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs with exact Jaccard ≥ threshold.
 
@@ -173,10 +173,13 @@ def minhash_near_duplicates(
     Results are exact w.r.t. the threshold (LSH affects recall only
     through banding parameters). ``threshold`` must be > 0 (the
     verify join drops zero-intersection candidates by construction).
-    ``max_bucket_size`` enables the degenerate-band guard (see
-    operators.buckets): bands with more members are dropped — and
-    counted/logged — before the quadratic self-join; None (default)
-    keeps candidate generation lossless.
+    ``max_bucket_size`` is the degenerate-band guard (see
+    operators.buckets) and is ON by default (10k): bands with more
+    members are dropped lazily in-plan before the quadratic
+    self-join, so a naive caller is quadratic-safe. Pass ``None`` to
+    opt out (lossless candidate generation, e.g. for exact oracles);
+    for counted/logged drops run operators.buckets.cap_hot_buckets
+    with ``eager_stats=True`` on the banded frame.
     """
     # explode + groupBy-min formulation: one flat codegen stage with
     # map-side partial mins, instead of num_hashes nested array lambdas
@@ -202,7 +205,7 @@ def minhash_near_duplicates(
     if max_bucket_size is not None:
         from batch_import_spark.operators.buckets import cap_hot_buckets
 
-        banded, _ = cap_hot_buckets(banded, ["band"], max_bucket_size)
+        banded, _ = cap_hot_buckets(banded, ["band"], max_bucket_size, eager_stats=False)
     cand = (
         banded.join(banded.select(F.col("band"), F.col("id").alias("id_b")), "band")
         .where(F.col("id") < F.col("id_b"))
@@ -368,7 +371,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     kernel: str = "expr",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -382,10 +385,13 @@ def simhash_near_duplicates(
     ``kernel``: "expr" = 60-bit md5-based JVM expressions (default,
     oracle-reproducible); "pandas" = 64-bit FNV-1a vectorized-numpy
     kernel (the Python-kernel demonstration path). ``max_bucket_size``
-    enables the degenerate-block guard (operators.buckets) — e.g. all
-    empty docs share signature 0 and land in every block bucket
-    together; capped blocks are dropped, counted, and logged, at the
-    documented cost of recall for members of the dropped blocks.
+    is the degenerate-block guard (operators.buckets), ON by default
+    (10k) — e.g. all empty docs share signature 0 and land in every
+    block bucket together; over-cap blocks are dropped lazily in-plan
+    before the self-join, at the documented cost of recall for their
+    members. Pass ``None`` to opt out (lossless — the exact-pair-set
+    oracle posture); for counted/logged drops use
+    operators.buckets.cap_hot_buckets with ``eager_stats=True``.
     """
     if kernel == "expr":
         sh = simhash_expr(df, text_col, id_col).select(F.col(id_col).alias("id"), "simhash")
@@ -422,7 +428,7 @@ def simhash_near_duplicates(
     if max_bucket_size is not None:
         from batch_import_spark.operators.buckets import cap_hot_buckets
 
-        blocks, _ = cap_hot_buckets(blocks, ["blk"], max_bucket_size)
+        blocks, _ = cap_hot_buckets(blocks, ["blk"], max_bucket_size, eager_stats=False)
     left = blocks.select("blk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = blocks.select("blk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -404,18 +404,25 @@ def embedding_near_duplicates(
     num_planes: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, cosine ≥ threshold) via LSH-bucketed self-join.
+
     Buckets hash RAW vectors (sign test is scale-invariant); the
-    verify step computes cosine = dot/(|a|·|b|). ``max_bucket_size``
-    enables the degenerate-bucket guard (operators.buckets): e.g.
-    zero/constant vectors all land in one bucket per table; over-cap
-    buckets are dropped, counted, and logged before the self-join."""
+    verify step computes cosine = dot/(|a|·|b|). The candidate
+    self-join shuffles SCALAR rows only — (table·bucket, id) — and the
+    full vectors are joined back *after* the (id_a, id_b) dedup for
+    the cosine verify, so at dim=768+ the candidate shuffle volume is
+    not multiplied by ``num_tables`` × vector payload (the same
+    count-join discipline as minhash_near_duplicates).
+    ``max_bucket_size`` is the degenerate-bucket guard
+    (operators.buckets), ON by default (10k): e.g. zero/constant
+    vectors all land in one bucket per table; over-cap buckets are
+    dropped lazily in-plan before the self-join. Pass ``None`` to opt
+    out; for counted/logged drops use cap_hot_buckets directly."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     buckets = c.select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -431,13 +438,16 @@ def embedding_near_duplicates(
     if max_bucket_size is not None:
         from batch_import_spark.operators.buckets import cap_hot_buckets
 
-        buckets, _ = cap_hot_buckets(buckets, ["tb"], max_bucket_size)
-    left = buckets.select("tb", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    right = buckets.select("tb", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (
-        left.join(right, "tb")
-        .where(F.col("id_a") < F.col("id_b"))
+        buckets, _ = cap_hot_buckets(buckets, ["tb"], max_bucket_size, eager_stats=False)
+    cand = (
+        buckets.join(buckets.select("tb", F.col("id").alias("id_b")), "tb")
+        .where(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(c.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(c.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

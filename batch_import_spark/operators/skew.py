@@ -25,6 +25,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _xxhashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType anywhere in the type tree (maps have no
+    canonical entry order, so they're not hashable in Spark)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def salted_join(
@@ -36,15 +49,29 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``left`` and ``right`` on ``on`` with the left side's
     hot keys spread across ``n_salts`` reducers. Supported ``how``:
-    inner and left (the shapes where the left side's skew matters)."""
+    inner and left (the shapes where the left side's skew matters).
+
+    The salt is hashed from the left row's *hashable* columns (map-typed
+    columns are skipped — xxhash64 can't hash them); the internal salt
+    column name is chosen to not collide with any existing column on
+    either side. Rows identical in every hashable column land on the
+    same salt — acceptable, since indistinguishable rows gain nothing
+    from being split."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
-    salt = F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(n_salts))
-    l_salted = left.withColumn("_salt", salt.cast("int"))
+    hashable = [f.name for f in left.schema.fields if _xxhashable(f.dataType)]
+    if not hashable:
+        raise ValueError("salted_join: no hashable columns on the left side")
+    salt_col = "_salt"
+    taken = set(left.columns) | set(right.columns)
+    while salt_col in taken:
+        salt_col += "_"
+    salt = F.pmod(F.xxhash64(F.struct(*hashable)), F.lit(n_salts))
+    l_salted = left.withColumn(salt_col, salt.cast("int"))
     r_salted = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    out = l_salted.join(r_salted, [*on, "_salt"], how)
-    return out.drop("_salt")
+    out = l_salted.join(r_salted, [*on, salt_col], how)
+    return out.drop(salt_col)
