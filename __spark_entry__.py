@@ -1033,6 +1033,39 @@ SELECT node, CAST(rank AS BIGINT) AS pagerank_scaled FROM pr WHERE iter = 6
 """
 
 
+def _kg_bfs_hops(spark, sf):
+    """Frontier BFS over the ACTUAL canonicalized KG output: hop
+    distances from entity P0 along directed canonical edges — the
+    'entity neighborhood' traversal every KG serving layer runs.
+    Same joined-halves discipline as kg_pagerank: the REAL pipeline
+    builds the graph, the oracle replays the closed-form planted edge
+    set through a recursive CTE."""
+    from batch_import_spark.operators.graph_stats import bfs_distances
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    g = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    sources = g.sparkSession.createDataFrame([("P0",)], "node string")
+    return bfs_distances(g, sources, directed=True, max_hops=10)
+
+
+_KG_BFS_SQL = f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM ({_PLANT_SQL})
+      WHERE subj <> obj),
+d AS (
+  SELECT 'P0' AS node, 0 AS dist
+  UNION
+  SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node WHERE d.dist < 10
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
+"""
+
+
 def _stream_kg_windowed(spark, sf):
     """Structured-Streaming KG over a bounded replay of the planted
     transcripts: readStream(parquet) → pandas extraction → broadcast
@@ -3299,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_pagerank": _kg_pagerank,
+        "kg_bfs_hops": _kg_bfs_hops,
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
@@ -3392,6 +3426,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
+        "kg_bfs_hops": _KG_BFS_SQL,
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
