@@ -3241,6 +3241,39 @@ FROM xs GROUP BY media_id
 """
 
 
+def _media_decode_jpeg(spark, sf):
+    """REAL baseline JPEG decode (functions/codecs_jpeg.py — from-
+    scratch segment parse, canonical Huffman, dequant, 8×8 IDCT,
+    4:2:0 chroma upsampling, YCbCr→RGB). The fixtures are constant-
+    block R=G=B images under all-ones quant tables — the bit-exact
+    round-trip regime — so the DuckDB oracle recomputes the decoded
+    channel sums closed-form from the block formula with no codec.
+    Exact integer equality = the decoder is right (alternating 4:4:4
+    and 4:2:0 fixtures exercise both MCU layouts)."""
+    from batch_import_spark.functions.multimodal import (
+        decode_image_stats,
+        synthesize_jpeg_media,
+    )
+
+    return decode_image_stats(synthesize_jpeg_media(spark, n=24))
+
+
+_MEDIA_JPEG_SQL = """
+WITH ids AS (
+  SELECT i AS media_id, CAST(2 + i % 3 AS BIGINT) AS nby,
+         CAST(3 + i % 2 AS BIGINT) AS nbx
+  FROM range(24) t(i)
+),
+bys AS (SELECT media_id, nby, nbx, UNNEST(generate_series(0, nby - 1)) AS by FROM ids),
+bxs AS (SELECT media_id, nby, nbx, by, UNNEST(generate_series(0, nbx - 1)) AS bx FROM bys)
+SELECT media_id, CAST(MAX(nbx) * 8 AS INT) AS width, CAST(MAX(nby) * 8 AS INT) AS height,
+       CAST(SUM(64 * ((bx * 7 + by * 3 + media_id * 5) % 256)) AS BIGINT) AS r_sum,
+       CAST(SUM(64 * ((bx * 7 + by * 3 + media_id * 5) % 256)) AS BIGINT) AS g_sum,
+       CAST(SUM(64 * ((bx * 7 + by * 3 + media_id * 5) % 256)) AS BIGINT) AS b_sum
+FROM bxs GROUP BY media_id
+"""
+
+
 def _media_decode_wav(spark, sf):
     """REAL WAV PCM16 decode (stdlib wave): fixture sample_j =
     ((j·37 + id·101) mod 65536) − 32768; the oracle recomputes the
@@ -3381,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries use REAL stdlib codecs with closed-form formula oracles
         "multimodal_features": _multimodal_features,
         "media_decode_png": _media_decode_png,
+        "media_decode_jpeg": _media_decode_jpeg,
         "media_decode_wav": _media_decode_wav,
     }
 
@@ -3473,5 +3507,6 @@ def oracle_sql() -> dict[str, str]:
         "spatial_bbox_lookup": _SPATIAL_SQL,
         "multimodal_features": _multimodal_oracle_sql(),
         "media_decode_png": _MEDIA_PNG_SQL,
+        "media_decode_jpeg": _MEDIA_JPEG_SQL,
         "media_decode_wav": _MEDIA_WAV_SQL,
     }

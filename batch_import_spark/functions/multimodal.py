@@ -2,14 +2,17 @@
 
 Media travel as opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched kernels over ``mapInPandas``. PNG (8-bit) and WAV
-(PCM16) decode is REAL — implemented from scratch on stdlib
-zlib/wave (functions/codecs.py), magic-byte sniffed, with integer
-pixel/sample statistics exact enough for closed-form cross-engine
-verification. Formats that genuinely need external codec libraries
-(JPEG/MP4/...) keep the documented stub: ``decode_media`` raises in
-strict mode or produces a deterministic fake so the Spark-side
-contract (schema, batching, partition sizing) stays exercised.
+Arrow-batched kernels over ``mapInPandas``. PNG (8-bit), WAV (PCM16)
+and baseline JPEG decode is REAL — implemented from scratch on
+stdlib zlib/wave/numpy (functions/codecs.py, codecs_jpeg.py),
+magic-byte sniffed, with integer pixel/sample statistics exact
+enough for closed-form cross-engine verification (JPEG via
+constant-block fixtures, which round-trip bit-exactly under all-ones
+quant tables). Formats that genuinely need external codec libraries
+(MP4/H.264, progressive JPEG, ...) keep the documented stub:
+``decode_media`` raises in strict mode or produces a deterministic
+fake so the Spark-side contract (schema, batching, partition sizing)
+stays exercised.
 
 Scale notes: binary payloads dominate partition size — callers should
 size ``spark.sql.files.maxPartitionBytes`` down (payload-aware) and
@@ -81,17 +84,25 @@ def synthesize_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
 def decode_media(payload: bytes, kind: str, strict: bool = False) -> np.ndarray:
     """Decode a media payload to a (N, channels) float array.
 
-    REAL decode for PNG (stdlib zlib inflate + unfilter) and WAV
-    PCM16 (stdlib wave) — sniffed by magic bytes, no PIL/ffmpeg
-    needed (functions/codecs.py). Other formats (JPEG/MP4/...) need
-    external codecs: strict=True raises (production posture);
-    otherwise a deterministic fake derived from the payload bytes
-    keeps downstream shape/typing exercised.
+    REAL decode for PNG (stdlib zlib inflate + unfilter), WAV PCM16
+    (stdlib wave) and baseline JPEG (from-scratch Huffman + dequant +
+    IDCT, functions/codecs_jpeg.py) — sniffed by magic bytes, no
+    PIL/ffmpeg needed. Remaining formats (MP4/H.264, progressive
+    JPEG, ...) need external codecs: strict=True raises (production
+    posture); otherwise a deterministic fake derived from the payload
+    bytes keeps downstream shape/typing exercised.
     """
     import wave
 
     from batch_import_spark.functions.codecs import png_decode, wav_decode
+    from batch_import_spark.functions.codecs_jpeg import jpeg_decode
 
+    if payload[:2] == b"\xff\xd8":
+        try:
+            px = jpeg_decode(payload)
+            return px.reshape(-1, px.shape[2]).astype(np.float32)
+        except ValueError:
+            pass  # progressive/arithmetic/... → stub path
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             px = png_decode(payload)
@@ -109,8 +120,8 @@ def decode_media(payload: bytes, kind: str, strict: bool = False) -> np.ndarray:
             pass  # non-PCM16 / truncated WAV → stub path
     if strict and not _HAVE_CODECS:
         raise NotImplementedError(
-            f"no codec available for kind={kind!r} payload; PNG/WAV decode "
-            "natively, other formats need PIL/av"
+            f"no codec available for kind={kind!r} payload; PNG/WAV/baseline-"
+            "JPEG decode natively, video and exotic stills need PIL/av"
         )
     if not payload:
         return np.zeros(_FEATURE_DIM, dtype=np.float32)
@@ -236,10 +247,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
 
-# --- real codecs (stdlib zlib/wave — see functions/codecs.py) -------------
+# --- real codecs (see functions/codecs.py, codecs_jpeg.py) ----------------
 #
-# PNG (8-bit gray/RGB/RGBA) and WAV (PCM16) decode for real here;
-# JPEG/MP4 keep the stub path above (they genuinely need PIL/ffmpeg).
+# PNG (8-bit gray/RGB/RGBA), WAV (PCM16) and baseline JPEG (gray /
+# 4:4:4 / 4:2:0) decode for real here; MP4/H.264 keeps the stub path
+# above (a video codec genuinely needs ffmpeg-class libraries).
 
 PNG_MEDIA_SCHEMA = "media_id long, payload binary"
 
@@ -274,23 +286,58 @@ def synthesize_wav_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, PNG_MEDIA_SCHEMA)
 
 
+def synthesize_jpeg_media(spark, n: int = 24) -> DataFrame:
+    """Real baseline JPEG fixtures: item i is a grid of (2+i%3) ×
+    (3+i%2) constant 8×8 blocks, block (by,bx) holding R=G=B value
+    (bx·7 + by·3 + i·5) mod 256, encoded 4:4:4 for even i and 4:2:0
+    for odd i with all-ones quant tables — the exact-round-trip
+    regime (codecs_jpeg.py docstring), so decoded channel sums are
+    closed-form: sum over blocks of 64·v."""
+    from batch_import_spark.functions.codecs_jpeg import jpeg_encode
+
+    rows = []
+    for i in range(n):
+        by, bx = 2 + i % 3, 3 + i % 2
+        blocks = (
+            np.arange(bx)[None, :] * 7 + np.arange(by)[:, None] * 3 + i * 5
+        ) % 256
+        px = np.repeat(np.repeat(blocks.astype(np.uint8), 8, 0), 8, 1)
+        px3 = np.stack([px, px, px], axis=-1)
+        rows.append(
+            (i, bytearray(jpeg_encode(px3, "444" if i % 2 == 0 else "420")))
+        )
+    return spark.createDataFrame(rows, PNG_MEDIA_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = (
     "media_id long, width int, height int, r_sum long, g_sum long, b_sum long"
 )
 
 
-def decode_image_stats(media: DataFrame) -> DataFrame:
-    """REAL PNG decode (Arrow-batched): parse + inflate + unfilter the
-    actual bytes, emit per-channel integer pixel sums — exact, so the
-    driver oracle can verify the decode against the generative formula
-    without any codec."""
+def _decode_any_image(b: bytes) -> np.ndarray:
+    """Magic-sniffing dispatch to the native PNG/JPEG decoders."""
     from batch_import_spark.functions.codecs import png_decode
+    from batch_import_spark.functions.codecs_jpeg import jpeg_decode
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(b)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_decode(b)
+    raise ValueError("not a PNG or JPEG payload")
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode (Arrow-batched): parse the actual bytes (PNG:
+    inflate + unfilter; JPEG: Huffman + dequant + IDCT), emit
+    per-channel integer pixel sums — exact, so the driver oracle can
+    verify the decode against the generative formula without any
+    codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "r_sum", "g_sum", "b_sum")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = png_decode(bytes(payload)).astype(np.int64)
+                px = _decode_any_image(bytes(payload)).astype(np.int64)
                 h, w, _ = px.shape
                 sums = px.reshape(-1, px.shape[2]).sum(axis=0)
                 out["media_id"].append(mid)
