@@ -1512,6 +1512,61 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def _quantile_sketch(spark, sf):
+    """Mergeable integer log-histogram quantile sketch
+    (operators/sketches.py) — the 100 TB percentile path where exact
+    grouped quantiles (grouped_quantiles) can\'t run: bounded
+    registers, register-exact merges, deterministic lower-bound
+    estimates with relative error ≤ 2^-4. The query builds the
+    registers over lineitem price micro-units, MERGES two
+    half-corpus sketches (exercising the tree-aggregate operation),
+    and reads p50/p90/p99 per return flag; the DuckDB oracle replays
+    the identical integer bucket arithmetic."""
+    from batch_import_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        quantile_sketch_query,
+    )
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 10000).alias("v"),
+    )
+    a = quantile_sketch(li.where(F.col("l_orderkey") % 2 == 0), ["l_returnflag"], "v")
+    b = quantile_sketch(li.where(F.col("l_orderkey") % 2 == 1), ["l_returnflag"], "v")
+    sk = merge_quantile_sketches(a, b, ["l_returnflag"])
+    out = quantile_sketch_query(sk, ["l_returnflag"], [50, 90, 99])
+    return out.select("l_returnflag", "q_pct", F.col("est").cast("long").alias("est"))
+
+
+def _quantile_sketch_sql() -> str:
+    from batch_import_spark.operators.sketches import bucket_sql_duckdb, rep_sql_duckdb
+
+    return f"""
+WITH vals AS (
+  SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) AS v
+  FROM lineitem
+),
+reg AS (
+  SELECT l_returnflag, {bucket_sql_duckdb("v")} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM reg
+)
+SELECT l_returnflag, q_pct,
+       CAST(MIN({rep_sql_duckdb("bucket")}) AS BIGINT) AS est
+FROM cum CROSS JOIN (VALUES (50), (90), (99)) qs(q_pct)
+WHERE cum * 100 >= q_pct * n
+GROUP BY 1, 2
+"""
+
+
 def _grouped_quantiles(spark, sf):
     """Exact grouped quantiles (R-7 linear interpolation — verified
     identical between Spark `percentile` and DuckDB `quantile_cont`).
@@ -3344,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _set_ops,
         "rollup_counts": _rollup_counts,
         "grouped_quantiles": _grouped_quantiles,
+        "quantile_sketch": _quantile_sketch,
         "sliding_window_counts": _sliding_window_counts,
         "pivot_counts": _pivot_counts,
         "salted_join_counts": _salted_join_counts,
@@ -3441,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_SQL,
         "rollup_counts": _ROLLUP_SQL,
         "grouped_quantiles": _QUANTILES_SQL,
+        "quantile_sketch": _quantile_sketch_sql(),
         "sliding_window_counts": _SLIDING_SQL,
         "pivot_counts": _PIVOT_SQL,
         "salted_join_counts": _SALTED_JOIN_SQL,

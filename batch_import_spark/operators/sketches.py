@@ -128,3 +128,140 @@ def hll_sketch(
         F.col("n_registers").cast("long").alias("n_registers"),
         F.col("register_sum").cast("long").alias("register_sum"),
     )
+
+
+# --- mergeable quantile sketch (integer log-histogram) ----------------------
+#
+# Exact grouped quantiles (the `grouped_quantiles` query) need a full
+# per-group sort — fine at test scale, impossible at 100 TB. The
+# production path is a MERGEABLE bounded-state sketch. This one is the
+# HDR-histogram / DDSketch family (public: Dunning & Ertl, and the
+# DataDog DDSketch paper) specialised to pure-integer registers so any
+# engine replays it bit-for-bit:
+#
+#   bucket(v) for v < 2^s        = v                   (exact range)
+#   bucket(v) for v ≥ 2^s        = (e << s) | m, where
+#       e = floor(log2(v))   (float log corrected by integer compares
+#                             → exact regardless of libm rounding)
+#       m = (v >> (e - s)) - 2^s   (the s bits after the leading bit)
+#
+# Registers are (group, bucket, count): two map-side-combinable
+# groupBys build them, bucket-wise count addition merges them (merge
+# is register-EXACT, not just distribution-approximate — the pytest
+# asserts sketch(A ∪ B) == sketch(A) ⊎ sketch(B) row-for-row), and
+# state per group is bounded by (64 - s)·2^s + 2^s buckets no matter
+# how many rows stream in. A quantile query walks the cumulative
+# counts and reports the bucket's lower bound, so the estimate is a
+# true value lower bound with relative error ≤ 2^-s.
+
+QUANTILE_SUB_BITS = 4  # 2^-4 ≈ 6.25% relative error, ≤ 976 buckets
+
+
+def _bucket_expr(v: str, s: int) -> str:
+    """Spark SQL expression mapping non-negative BIGINT ``v`` to its
+    log-histogram bucket (dialect twin: _bucket_sql_duckdb)."""
+    e0 = f"CAST(FLOOR(LOG2(CAST({v} AS DOUBLE))) AS BIGINT)"
+    e = (
+        f"({e0} + CASE WHEN {v} >= SHIFTLEFT(2L, CAST({e0} AS INT)) THEN 1 "
+        f"WHEN {v} < SHIFTLEFT(1L, CAST({e0} AS INT)) THEN -1 ELSE 0 END)"
+    )
+    return (
+        f"CASE WHEN {v} < {1 << s} THEN {v} ELSE "
+        f"SHIFTLEFT({e}, {s}) + (SHIFTRIGHT({v}, CAST({e} - {s} AS INT)) - {1 << s}) END"
+    )
+
+
+def _rep_expr(bucket: str, s: int) -> str:
+    """Bucket lower-bound representative (Spark SQL dialect)."""
+    e = f"SHIFTRIGHT({bucket}, {s})"
+    m = f"({bucket} & {(1 << s) - 1})"
+    return (
+        f"CASE WHEN {bucket} < {1 << s} THEN {bucket} ELSE "
+        f"SHIFTLEFT({(1 << s)} + {m}, CAST({e} - {s} AS INT)) END"
+    )
+
+
+def bucket_sql_duckdb(v: str, s: int = QUANTILE_SUB_BITS) -> str:
+    """DuckDB dialect twin of _bucket_expr, for oracles."""
+    e0 = f"CAST(FLOOR(LOG2(CAST({v} AS DOUBLE))) AS BIGINT)"
+    e = (
+        f"({e0} + CASE WHEN {v} >= (CAST(2 AS BIGINT) << CAST({e0} AS INT)) THEN 1 "
+        f"WHEN {v} < (CAST(1 AS BIGINT) << CAST({e0} AS INT)) THEN -1 ELSE 0 END)"
+    )
+    return (
+        f"CASE WHEN {v} < {1 << s} THEN {v} ELSE "
+        f"({e} << {s}) + (({v} >> CAST({e} - {s} AS INT)) - {1 << s}) END"
+    )
+
+
+def rep_sql_duckdb(bucket: str, s: int = QUANTILE_SUB_BITS) -> str:
+    """DuckDB dialect twin of _rep_expr, for oracles."""
+    e = f"({bucket} >> {s})"
+    m = f"({bucket} & {(1 << s) - 1})"
+    return (
+        f"CASE WHEN {bucket} < {1 << s} THEN {bucket} ELSE "
+        f"(({(1 << s)} + {m}) << CAST({e} - {s} AS INT)) END"
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    sub_bits: int = QUANTILE_SUB_BITS,
+) -> DataFrame:
+    """Build log-histogram quantile-sketch registers:
+    (group_cols..., bucket long, cnt long). Values must be
+    non-negative BIGINTs (use micro-units for money; raise ANSI-style
+    on negatives via the caller's cast discipline)."""
+    v = f"CAST({value_col} AS BIGINT)"
+    return (
+        df.select(*group_cols, F.expr(_bucket_expr(v, sub_bits)).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two register tables (bucket-wise count addition) — the
+    operation a 1000-executor tree-aggregate runs at every level."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantile_sketch_query(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q_pcts: list[int] = (50, 90, 99),
+    sub_bits: int = QUANTILE_SUB_BITS,
+) -> DataFrame:
+    """Query quantiles from registers: (group_cols..., q_pct int,
+    est long). ``est`` is the lower bound of the bucket holding the
+    nearest-rank (ceil(q·n)) element — a deterministic value lower
+    bound with relative error ≤ 2^-sub_bits. The per-group window
+    runs over the bounded register set (≤ ~1k rows/group), never the
+    raw data."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    qd = cum.select(
+        *group_cols,
+        "bucket",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_pcts])).alias("q_pct"),
+    )
+    hit = qd.where(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+    return hit.groupBy(*group_cols, "q_pct").agg(
+        F.min(F.expr(_rep_expr("bucket", sub_bits))).alias("est")
+    )
