@@ -2331,8 +2331,10 @@ def _communities(spark, sf):
     return label_propagation(edges, iterations=4)
 
 
-_COMMUNITIES_SQL = """
-WITH RECURSIVE
+# shared recursive-CTE body: deterministic 4-round label propagation on
+# the mod-500 customer graph (used by both the communities oracle and
+# the modularity oracle, which grades the same assignment)
+_LP_CTE = """WITH RECURSIVE
 raw AS (SELECT c_custkey % 500 AS a, (c_custkey // 7) % 500 AS b FROM customer),
 e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b),
 b2 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
@@ -2350,8 +2352,57 @@ lp AS (
       GROUP BY 1, 2, 3
     ) c
   ) WHERE rn = 1
-)
+)"""
+
+_COMMUNITIES_SQL = f"""
+{_LP_CTE}
 SELECT node, label AS community FROM lp WHERE iter = 4
+"""
+
+
+def _modularity(spark, sf):
+    """Integer-exact modularity of the label-propagation communities
+    (operators/graph_stats.py modularity_scaled): per-community
+    contrib = 4*m*m_intra - deg_sum^2, i.e. Q * 4m^2 cleared of every
+    denominator - the community output graded, not just reproduced.
+    The oracle replays label propagation (shared CTE) and the same
+    BIGINT arithmetic."""
+    from batch_import_spark.operators.graph_stats import (
+        label_propagation,
+        modularity_scaled,
+    )
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    edges = c.select(
+        (F.col("c_custkey") % 500).alias("src"),
+        F.expr("(c_custkey div 7) % 500").alias("dst"),
+    )
+    assign = label_propagation(edges, iterations=4)
+    return modularity_scaled(edges, assign)
+
+
+_MODULARITY_SQL = f"""
+{_LP_CTE},
+assign AS (SELECT node, label AS community FROM lp WHERE iter = 4),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM b2 GROUP BY u),
+intra AS (
+  SELECT a1.community, CAST(COUNT(*) AS BIGINT) AS m_intra
+  FROM e0 JOIN assign a1 ON e0.u = a1.node
+          JOIN assign a2 ON e0.v = a2.node
+  WHERE a1.community = a2.community GROUP BY 1
+),
+ks AS (
+  SELECT a.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+  FROM assign a JOIN deg ON deg.node = a.node GROUP BY 1
+)
+SELECT ks.community, ks.n_nodes,
+       CAST(COALESCE(intra.m_intra, 0) AS BIGINT) AS m_intra,
+       ks.deg_sum,
+       CAST(4 * mm.m * COALESCE(intra.m_intra, 0)
+            - ks.deg_sum * ks.deg_sum AS BIGINT) AS contrib
+FROM ks LEFT JOIN intra ON intra.community = ks.community CROSS JOIN mm
 """
 
 
@@ -3434,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": _bfs_hops,
         "kcore": _kcore,
         "communities": _communities,
+        "modularity": _modularity,
         "adjacency_lists": _adjacency_lists,
         "tfidf_terms": _tfidf_terms,
         "corpus_sample": _corpus_sample,
@@ -3530,6 +3582,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": _BFS_SQL,
         "kcore": _KCORE_SQL,
         "communities": _COMMUNITIES_SQL,
+        "modularity": _MODULARITY_SQL,
         "adjacency_lists": _ADJACENCY_SQL,
         "tfidf_terms": _TFIDF_SQL,
         "corpus_sample": _CORPUS_SAMPLE_SQL,

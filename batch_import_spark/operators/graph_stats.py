@@ -411,3 +411,78 @@ def pagerank_weighted(
         ranks, prev_ids = _checkpoint_rotate(spark, ranks, prev_ids)
     _unpersist_ids(spark, ed_ids | node_ids)
     return ranks.select("node", F.col("rank").alias("pagerank_scaled"))
+
+
+def modularity_scaled(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Integer-exact modularity of a community assignment — makes a
+    community output GRADEABLE, not just reproducible.
+
+    Newman modularity over the undirected simple graph G(m edges):
+
+        Q = Σ_c [ m_c/m − (K_c / 2m)² ]
+
+    (m_c = intra-community edges, K_c = degree sum of c). Multiplying
+    by 4m² clears every denominator:
+
+        contrib_c = 4·m·m_c − K_c²      Q = Σ_c contrib_c / (4m²)
+
+    so the per-community contributions — and their sum — are exact
+    BIGINTs, bit-identical in any engine (same discipline as the
+    integer PageRank). Returns (community, n_nodes, m_intra, deg_sum,
+    contrib). ``contrib`` fits int64 for m ≲ 1.5·10⁹ edges; beyond
+    that shard the graph or lift to DECIMAL(38,0).
+
+    Scale shape: canonicalize + degree are map-side-combinable; the
+    intra-edge count is two broadcast-or-shuffle hash joins of the
+    edge list against the (node, community) map keyed on node ids; the
+    single-row m aggregate broadcasts. No window over the full graph.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    b2 = e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+    deg = b2.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    a = assign.select(F.col(node).alias("n"), F.col(community).alias("c"))
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        e.join(a.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u")
+        .join(a.select(F.col("n").alias("v"), F.col("c").alias("cv")), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count(F.lit(1)).alias("m_intra"))
+    )
+    ks = (
+        a.join(deg, "n")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("deg_sum"),
+        )
+    )
+    return (
+        ks.join(intra, "c", "left")
+        .na.fill(0, ["m_intra"])
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            F.col("m_intra").cast("long").alias("m_intra"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            (
+                4 * F.col("m") * F.col("m_intra")
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("long").alias("contrib"),
+        )
+    )

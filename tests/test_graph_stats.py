@@ -213,3 +213,37 @@ def test_weighted_pagerank_matches_recurrence(spark):
     }
     assert got2 == _py_wpr(star, 3)
     assert got2[2] > got2[3]
+
+
+def test_modularity_two_triangles(spark):
+    """Known closed form: two triangles joined by one bridge edge,
+    communities = the triangles. m=7, each community m_c=3 and
+    K_c=7, so contrib = 4*7*3 - 49 = 35 per side and
+    Q = 70/(4*49) = 5/14."""
+    from batch_import_spark.operators.graph_stats import modularity_scaled
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)],
+        "src long, dst long",
+    )
+    assign = spark.createDataFrame(
+        [(n, n // 3) for n in range(6)], "node long, community long"
+    )
+    rows = {r["community"]: r for r in modularity_scaled(edges, assign).collect()}
+    assert rows[0]["m_intra"] == rows[1]["m_intra"] == 3
+    assert rows[0]["deg_sum"] == rows[1]["deg_sum"] == 7
+    assert rows[0]["contrib"] == rows[1]["contrib"] == 35
+    total = sum(r["contrib"] for r in rows.values())
+    assert total == 70  # Q = 70 / (4*7*7) = 5/14
+
+
+def test_modularity_singleton_partition_is_negative_or_zero(spark):
+    """Every node its own community: m_intra=0 everywhere, so Q < 0
+    for any graph with edges — a sanity direction check."""
+    from batch_import_spark.operators.graph_stats import modularity_scaled
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assign = spark.createDataFrame([(n, n) for n in range(3)], "node long, community long")
+    rows = modularity_scaled(edges, assign).collect()
+    assert all(r["m_intra"] == 0 for r in rows)
+    assert sum(r["contrib"] for r in rows) < 0
