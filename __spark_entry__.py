@@ -2024,6 +2024,80 @@ SELECT group_id, doc_id, size, pack_id, pack_pos FROM p
 """
 
 
+def _seq_packing_global(spark, sf):
+    """Two-level GLOBAL sequence packing (operators/packing.py
+    pack_sequences_global): per-group greedy pack, then a second
+    greedy pass over the level-1 fills that merges under-filled bins
+    across groups — capacity invariant holds over FINAL bins. The
+    oracle replays BOTH greedy recurrences in chained recursive CTEs."""
+    from batch_import_spark.operators.packing import (
+        pack_sequences_global,
+        token_count,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    sized = d.select("doc_id", token_count("text").alias("n_tok"))
+    return pack_sequences_global(
+        sized, "n_tok", ["doc_id"], capacity=256, n_groups=8, n_groups_l2=1, seed=11
+    )
+
+
+_SEQ_PACKING_GLOBAL_SQL = rf"""
+WITH RECURSIVE
+sz AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS size,
+         {_KEYED_H_SQL.format(seed=11, key="doc_id")} AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, size, CAST(h % 8 AS INT) AS group_id,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM sz
+),
+p AS (
+  SELECT group_id, rn, doc_id, size, CAST(0 AS BIGINT) AS pack_id,
+         size AS fill, CAST(0 AS INT) AS pack_pos
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.group_id, s.rn, s.doc_id, s.size,
+         CASE WHEN p.fill + s.size <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + s.size <= 256 THEN p.fill + s.size ELSE s.size END,
+         CASE WHEN p.fill + s.size <= 256 THEN p.pack_pos + 1 ELSE 0 END
+  FROM p JOIN s ON s.group_id = p.group_id AND s.rn = p.rn + 1
+),
+f AS (
+  SELECT group_id AS l1_group, pack_id AS l1_pack,
+         CAST(SUM(size) AS BIGINT) AS fill,
+         ('0x' || substr(md5('s12:' || CAST(group_id AS VARCHAR) || ':'
+                             || CAST(pack_id AS VARCHAR)), 1, 15))::BIGINT AS h2
+  FROM p GROUP BY group_id, pack_id
+),
+s2 AS (
+  SELECT l1_group, l1_pack, fill,
+         ROW_NUMBER() OVER (ORDER BY h2, l1_group, l1_pack) AS rn
+  FROM f
+),
+p2 AS (
+  SELECT rn, l1_group, l1_pack, CAST(0 AS BIGINT) AS bin_pack,
+         fill AS bfill, CAST(0 AS INT) AS l2_pos
+  FROM s2 WHERE rn = 1
+  UNION ALL
+  SELECT s2.rn, s2.l1_group, s2.l1_pack,
+         CASE WHEN p2.bfill + s2.fill <= 256 THEN p2.bin_pack ELSE p2.bin_pack + 1 END,
+         CASE WHEN p2.bfill + s2.fill <= 256 THEN p2.bfill + s2.fill ELSE s2.fill END,
+         CASE WHEN p2.bfill + s2.fill <= 256 THEN p2.l2_pos + 1 ELSE 0 END
+  FROM p2 JOIN s2 ON s2.rn = p2.rn + 1
+)
+SELECT p.doc_id, p.size, p.group_id AS l1_group, p.pack_id AS l1_pack,
+       CAST(0 AS INT) AS bin_group, p2.bin_pack,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p2.bin_pack
+                               ORDER BY p2.l2_pos, p.pack_pos) - 1 AS INT) AS bin_pos
+FROM p JOIN p2 ON p2.l1_group = p.group_id AND p2.l1_pack = p.pack_id
+"""
+
+
 def _triangle_counts(spark, sf):
     """Per-node triangle participation over a deterministic graph
     derived from customer ids (degree-oriented wedge formulation,
@@ -3493,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "doc_chunks": _doc_chunks,
         "seq_packing": _seq_packing,
+        "seq_packing_global": _seq_packing_global,
         "contamination": _contamination,
         "quote_containment": _quote_containment,
         "cooccurrence_lift": _cooccurrence,
@@ -3590,6 +3665,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "seq_packing": _SEQ_PACKING_SQL,
+        "seq_packing_global": _SEQ_PACKING_GLOBAL_SQL,
         "contamination": _CONTAMINATION_SQL,
         "quote_containment": _QUOTE_CONTAINMENT_SQL,
         "cooccurrence_lift": _COOCCURRENCE_SQL,

@@ -145,3 +145,90 @@ def pack_sequences(
         return out
 
     return tagged.groupBy("group_id").applyInPandas(_pack, out_schema)
+
+
+def pack_sequences_global(
+    df: DataFrame,
+    size_col: str,
+    id_cols: list[str],
+    capacity: int,
+    n_groups: int = 64,
+    n_groups_l2: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Two-level GLOBAL sequence packing: per-group greedy pack, then a
+    second greedy pass over the level-1 bins' fill totals that merges
+    under-filled bins ACROSS groups (the cross-group waste
+    pack_sequences alone leaves on the table).
+
+    Returns id_cols + (size, l1_group, l1_pack, bin_group, bin_pack,
+    bin_pos): the final bin key is (bin_group, bin_pack), bin_pos is
+    the item's rank inside its final bin, and the capacity invariant
+    holds GLOBALLY — a final bin's total size never exceeds
+    ``capacity`` (level-1 fills are ≤ capacity except oversize
+    singleton items, which level-2's own oversize rule keeps alone;
+    such bins are exactly the level-1 oversize bins).
+
+    Scale shape: level 2 runs on the level-1 bin SUMMARY table —
+    smaller than the corpus by ~capacity/mean_size — so
+    ``n_groups_l2`` can be far smaller than ``n_groups`` (1 = truly
+    global while summaries fit one Arrow batch; at 10^12 turns use
+    more and the residual cross-group under-fill is bounded by
+    ~n_groups_l2 partially-filled bins). Measure with packing_waste.
+    """
+    l1 = pack_sequences(df, size_col, id_cols, capacity, n_groups, seed)
+    fills = (
+        l1.groupBy("group_id", "pack_id")
+        .agg(F.sum("size").alias("fill"))
+        .select(
+            F.col("group_id").alias("l1_group"),
+            F.col("pack_id").alias("l1_pack"),
+            "fill",
+        )
+    )
+    l2 = pack_sequences(
+        fills, "fill", ["l1_group", "l1_pack"], capacity,
+        n_groups=n_groups_l2, seed=seed + 1,
+    ).select(
+        "l1_group",
+        "l1_pack",
+        F.col("group_id").alias("bin_group"),
+        F.col("pack_id").alias("bin_pack"),
+        F.col("pack_pos").alias("_l2_pos"),
+    )
+    joined = l1.select(
+        *id_cols,
+        "size",
+        F.col("group_id").alias("l1_group"),
+        F.col("pack_id").alias("l1_pack"),
+        F.col("pack_pos").alias("_l1_pos"),
+    ).join(l2, ["l1_group", "l1_pack"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bin_group", "bin_pack").orderBy("_l2_pos", "_l1_pos")
+    return joined.withColumn(
+        "bin_pos", (F.row_number().over(w) - 1).cast("int")
+    ).drop("_l1_pos", "_l2_pos")
+
+
+def packing_waste(
+    packed: DataFrame, capacity: int, bin_cols: list[str]
+) -> DataFrame:
+    """One-row waste report for a packing: n_bins, total_size,
+    waste = n_bins·capacity − total_size (counting oversize items as
+    zero-waste bins of their own size), and waste_ppm — the metric
+    that makes level-1 vs two-level packing comparable."""
+    per_bin = packed.groupBy(*bin_cols).agg(F.sum("size").alias("fill"))
+    return per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").alias("total_size"),
+        F.sum(
+            F.when(F.col("fill") < capacity, F.lit(capacity) - F.col("fill"))
+            .otherwise(F.lit(0))
+        ).alias("waste"),
+    ).select(
+        "n_bins",
+        "total_size",
+        "waste",
+        F.expr(f"waste * 1000000L div (n_bins * {capacity}L)").alias("waste_ppm"),
+    )

@@ -98,3 +98,53 @@ def test_pack_sequences_deterministic(spark):
         )
     )
     assert a == b
+
+
+def test_global_packing_capacity_invariant_and_waste(spark):
+    """pack_sequences_global: the capacity invariant holds over FINAL
+    bins (except oversize singletons), every input row survives, and
+    measured waste is never worse than level-1 packing alone."""
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_global,
+        packing_waste,
+    )
+
+    cap = 100
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(60)) + 1).alias("n_tok"),
+    )
+    g = pack_sequences_global(df, "n_tok", ["doc_id"], capacity=cap, n_groups=8)
+    rows = g.collect()
+    assert len(rows) == 500  # nothing dropped
+    fills = {}
+    for r in rows:
+        fills.setdefault((r["bin_group"], r["bin_pack"]), []).append(r["size"])
+    for key, sizes in fills.items():
+        assert sum(sizes) <= cap or (len(sizes) == 1 and sizes[0] > cap), key
+    w1 = packing_waste(
+        pack_sequences(df, "n_tok", ["doc_id"], capacity=cap, n_groups=8),
+        cap, ["group_id", "pack_id"],
+    ).collect()[0]
+    w2 = packing_waste(g, cap, ["bin_group", "bin_pack"]).collect()[0]
+    assert w2["total_size"] == w1["total_size"]
+    assert w2["n_bins"] <= w1["n_bins"]
+    assert w2["waste"] <= w1["waste"]
+    assert w2["waste_ppm"] <= w1["waste_ppm"]
+
+
+def test_global_packing_deterministic_across_partitionings(spark):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.operators.packing import pack_sequences_global
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(40)) + 1).alias("n_tok"),
+    )
+    a = pack_sequences_global(df.repartition(3), "n_tok", ["doc_id"], 128, n_groups=4)
+    b = pack_sequences_global(df.repartition(13), "n_tok", ["doc_id"], 128, n_groups=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
