@@ -803,6 +803,158 @@ GROUP BY tok
 """
 
 
+_BPE_N_MERGES = 16
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges_for(spark, sf):
+    """Train once per sf dir per process: training is deterministic
+    (argmax tie-break cnt DESC, l ASC, r ASC), so `bpe_train` and
+    `bpe_tokenize` share the learned merges instead of re-running the
+    16 tiny vocab-table jobs."""
+    from batch_import_spark.functions.bpe import bpe_train
+
+    merges = _BPE_MERGE_CACHE.get(sf)
+    if merges is None:
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        merges = bpe_train(
+            d, "text", n_merges=_BPE_N_MERGES, min_pair_count=2
+        )
+        _BPE_MERGE_CACHE[sf] = merges
+    return merges
+
+
+def _bpe_train(spark, sf):
+    """Learn BPE merges on the document corpus (distributed pair-count
+    argmax per rank; functions/bpe.py). Output = the merge table
+    itself — rank order, pair, and the weighted count that won."""
+    merges = _bpe_merges_for(spark, sf)
+    return spark.createDataFrame(
+        [(i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank: long, lhs: string, rhs: string, merged: string, pair_count: long",
+    )
+
+
+def _bpe_tokenize(spark, sf):
+    """Apply the learned merges to every document: zero-shuffle chain
+    of literal replace() calls on the delimited-symbol encoding (pure
+    codegen). Output: per-doc BPE token count + portable 60-bit hash
+    of the full segmentation ('|' between subwords)."""
+    from batch_import_spark.functions.bpe import (
+        encode_text,
+        segment_expr,
+        token_count_expr,
+    )
+
+    merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    enc = encode_text("text", merges)
+    return d.select(
+        "doc_id",
+        token_count_expr(enc).alias("n_bpe_tokens"),
+        F.conv(F.substring(F.md5(segment_expr(enc)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("seg_hash"),
+    )
+
+
+def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
+    """Recursive-CTE replay of BPE training over the word-frequency
+    table. One reference to `step` per recursive term: pairs are
+    exploded via parallel unnest, counted with a window SUM, and the
+    argmax is a window MIN over {'negc': -cnt, l, r} structs (struct
+    comparison = cnt DESC, l ASC, r ASC — Spark's exact tie-break);
+    GROUP BY ALL collapses the pair rows back to one row per word."""
+    return rf"""
+wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+step AS (
+  SELECT 0 AS it, word, n,
+         regexp_replace(word, '(.)', chr(31) || '\1' || chr(31), 'g') AS s,
+         CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br,
+         CAST(0 AS BIGINT) AS bc
+  FROM wc
+  UNION ALL
+  SELECT it + 1, word, n,
+         CASE WHEN ml IS NULL THEN s
+              ELSE replace(s, chr(31) || ml || chr(31) || chr(31) || mr || chr(31),
+                              chr(31) || ml || mr || chr(31)) END AS s,
+         ml AS bl, mr AS br, mc AS bc
+  FROM (
+    SELECT it, word, n, s,
+           best.l AS ml, best.r AS mr, CAST(-best.negc AS BIGINT) AS mc
+    FROM (
+      SELECT it, word, n, s,
+             min(CASE WHEN l IS NULL OR cnt < {min_pair_count} THEN NULL
+                      ELSE {{'negc': -cnt, 'l': l, 'r': r}} END) OVER () AS best
+      FROM (
+        SELECT it, word, n, s, l, r,
+               CAST(sum(CASE WHEN l IS NULL THEN 0 ELSE n END)
+                    OVER (PARTITION BY l, r) AS BIGINT) AS cnt
+        FROM (
+          SELECT it, word, n, s,
+                 unnest(CASE WHEN len(syms) < 2 THEN [CAST(NULL AS VARCHAR)]
+                             ELSE syms[1:len(syms)-1] END) AS l,
+                 unnest(CASE WHEN len(syms) < 2 THEN [CAST(NULL AS VARCHAR)]
+                             ELSE syms[2:len(syms)] END) AS r
+          FROM (SELECT it, word, n, s,
+                       string_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+                FROM step)
+        )
+      )
+    )
+    GROUP BY ALL
+  )
+  WHERE it < {n_merges}
+)"""
+
+
+_BPE_TRAIN_SQL = (
+    "WITH RECURSIVE"
+    + _bpe_step_cte()
+    + """
+SELECT DISTINCT it AS rank, bl AS lhs, br AS rhs, bl || br AS merged,
+       bc AS pair_count
+FROM step
+WHERE it >= 1 AND bl IS NOT NULL
+"""
+)
+
+
+_BPE_TOKENIZE_SQL = (
+    "WITH RECURSIVE"
+    + _bpe_step_cte()
+    + """,
+fin AS (SELECT word, s FROM step WHERE it = (SELECT max(it) FROM step)),
+docw AS (
+  SELECT doc_id, unnest(arr) AS word,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+        FROM documents)
+),
+segw AS (
+  SELECT d.doc_id, d.pos,
+         replace(replace(f.s, chr(31) || chr(31), '|'), chr(31), '') AS w_seg,
+         CAST((length(f.s) - length(replace(f.s, chr(31), ''))) / 2 AS BIGINT)
+           AS w_ntok
+  FROM docw d JOIN fin f ON d.word = f.word
+  WHERE d.word <> ''
+)
+SELECT doc_id,
+       CAST(SUM(w_ntok) AS BIGINT) AS n_bpe_tokens,
+       ('0x' || substr(md5(string_agg(w_seg, ' ' ORDER BY pos)), 1, 15))::BIGINT
+         AS seg_hash
+FROM segw
+GROUP BY doc_id
+"""
+)
+
+
 def _kg_extract_canonicalize(spark, sf):
     return _kg_triples(spark, sf)
 
@@ -3542,6 +3694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
+        "bpe_train": _bpe_train,
+        "bpe_tokenize": _bpe_tokenize,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -3641,6 +3795,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXTQ_SQL,
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
+        "bpe_train": _BPE_TRAIN_SQL,
+        "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
