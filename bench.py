@@ -112,6 +112,14 @@ def main() -> int:
         "cooccurrence_lift",
         "quote_containment",
         "weighted_pagerank",
+        # round 4
+        "kg_pagerank",
+        "kg_bfs_hops",
+        "quantile_sketch",
+        "seq_packing_global",
+        "modularity",
+        "bpe_tokenize",
+        "media_decode_jpeg",
     ]
     for name in bench_queries:
         t0 = time.time()
