@@ -858,6 +858,25 @@ def _bpe_tokenize(spark, sf):
     )
 
 
+def _bpe_vocab(spark, sf):
+    """Materialize the learned subword vocabulary: every symbol the
+    tokenizer emits over the corpus with its occurrence count — the
+    vocab table a training pipeline ships with its tokenizer. Pure
+    codegen: encode (replace chain), explode symbols, one groupBy."""
+    from batch_import_spark.functions.bpe import encode_text, segment_expr
+
+    merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    seg = segment_expr(encode_text("text", merges))
+    sym = F.explode(F.split(F.replace(seg, F.lit(" "), F.lit("|")), r"\|"))
+    return (
+        d.select(sym.alias("symbol"))
+        .filter(F.col("symbol") != "")
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
 def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
     """Recursive-CTE replay of BPE training over the word-frequency
     table. One reference to `step` per recursive term: pairs are
@@ -951,6 +970,28 @@ SELECT doc_id,
          AS seg_hash
 FROM segw
 GROUP BY doc_id
+"""
+)
+
+
+_BPE_VOCAB_SQL = (
+    "WITH RECURSIVE"
+    + _bpe_step_cte()
+    + """,
+fin AS (SELECT word, s FROM step WHERE it = (SELECT max(it) FROM step)),
+docw AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM (
+  SELECT unnest(string_split(replace(replace(f.s, chr(31) || chr(31), '|'),
+                                     chr(31), ''), '|')) AS symbol
+  FROM docw d JOIN fin f ON d.word = f.word
+  WHERE d.word <> ''
+)
+WHERE symbol <> ''
+GROUP BY symbol
 """
 )
 
@@ -3696,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_regex": _extract_regex,
         "bpe_train": _bpe_train,
         "bpe_tokenize": _bpe_tokenize,
+        "bpe_vocab": _bpe_vocab,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -3797,6 +3839,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_regex": _EXTRACT_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
+        "bpe_vocab": _BPE_VOCAB_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
