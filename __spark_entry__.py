@@ -1259,6 +1259,45 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM d GROUP BY node
 """
 
 
+def _kg_kcore(spark, sf):
+    """2-core of the ACTUAL canonicalized KG output (undirected):
+    strips the pendant entities (mentioned with a single neighbor)
+    from the entity graph — the densification step KG curation runs
+    before serving. Same joined-halves discipline as kg_pagerank: the
+    REAL pipeline materializes the graph, the oracle peels the
+    closed-form planted edge set in a recursive CTE."""
+    from batch_import_spark.operators.graph_stats import kcore
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    g = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    return kcore(g, 2)
+
+
+_KG_KCORE_SQL = f"""
+WITH RECURSIVE
+raw AS (SELECT DISTINCT subj AS a, obj AS b FROM ({_PLANT_SQL}) WHERE subj <> obj),
+e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw),
+b2 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+peel AS (
+  SELECT 0 AS iter, u, v FROM b2
+  UNION ALL
+  SELECT iter, u, v FROM (
+    SELECT p.iter + 1 AS iter, p.u, p.v,
+           COUNT(*) OVER (PARTITION BY p.u) AS du,
+           COUNT(*) OVER (PARTITION BY p.v) AS dv
+    FROM peel p WHERE p.iter < 30
+  ) WHERE du >= 2 AND dv >= 2
+)
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM peel WHERE iter = 30 GROUP BY u
+"""
+
+
 def _stream_kg_windowed(spark, sf):
     """Structured-Streaming KG over a bounded replay of the planted
     transcripts: readStream(parquet) → pandas extraction → broadcast
@@ -3743,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_full": _kg_pipeline_full,
         "kg_pagerank": _kg_pagerank,
         "kg_bfs_hops": _kg_bfs_hops,
+        "kg_kcore": _kg_kcore,
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
@@ -3844,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_bfs_hops": _KG_BFS_SQL,
+        "kg_kcore": _KG_KCORE_SQL,
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
