@@ -877,6 +877,61 @@ def _bpe_vocab(spark, sf):
     )
 
 
+def _lm_bigram_score(spark, sf):
+    """CCNet-style LM quality scoring: every doc scored by its
+    smoothed bigram transition probabilities under a model trained on
+    the corpus itself (operators/lm.py). Integer fixed-point (ppm)
+    throughout — no log()/float transcendentals, so the score is
+    bit-reproducible and the oracle replays it exactly."""
+    from batch_import_spark.operators.lm import score_documents
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return score_documents(d, "doc_id", "text")
+
+
+_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM uni),
+trans AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) < 2 THEN [CAST(NULL AS VARCHAR)]
+                     ELSE ws[1:len(ws)-1] END) AS w1,
+         unnest(CASE WHEN len(ws) < 2 THEN [CAST(NULL AS VARCHAR)]
+                     ELSE ws[2:len(ws)] END) AS w2
+  FROM toks
+),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM trans WHERE w1 IS NOT NULL GROUP BY w1, w2
+),
+p AS (
+  SELECT t.doc_id, t.w1,
+         CASE WHEN t.w1 IS NULL THEN NULL
+              ELSE ((COALESCE(b.c2, 0) + 1) * 1000000) // (u.c1 + v.vs) END
+           AS p_ppm
+  FROM trans t
+  LEFT JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+  LEFT JOIN uni u ON t.w1 = u.w
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(w1) AS BIGINT) AS n_trans,
+       CASE WHEN COUNT(w1) > 0
+            THEN CAST(SUM(p_ppm) // COUNT(w1) AS BIGINT) END AS avg_prob_ppm,
+       CAST(MIN(p_ppm) AS BIGINT) AS min_prob_ppm
+FROM p GROUP BY doc_id
+"""
+
+
 def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
     """Recursive-CTE replay of BPE training over the word-frequency
     table. One reference to `step` per recursive term: pairs are
@@ -3777,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
+        "lm_bigram_score": _lm_bigram_score,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -3880,6 +3936,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _BPE_TRAIN_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
+        "lm_bigram_score": _LM_SCORE_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
