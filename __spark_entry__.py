@@ -932,6 +932,80 @@ FROM p GROUP BY doc_id
 """
 
 
+_BLOOM_M, _BLOOM_K = 8192, 4
+
+
+def _bloom_registers(spark, sf):
+    """Mergeable Bloom-filter state built over the ordering customers:
+    the exact BIGINT register words (sketches.py bloom_build). The
+    oracle rebuilds every word from the portable hash — register-exact,
+    same discipline as the HLL/KMV entries."""
+    from batch_import_spark.operators.sketches import bloom_build
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return bloom_build(o, "o_custkey", _BLOOM_M, _BLOOM_K)
+
+
+def _bloom_membership(spark, sf):
+    """Probe the filter with every customer key plus a planted
+    non-member twin (+10^6): members always pass; the twins measure
+    the false-positive surface (n_hits < k rejects). The pre-filter
+    shape incremental dedup uses before its anti-join."""
+    from batch_import_spark.operators.sketches import bloom_build, bloom_probe
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    regs = bloom_build(o, "o_custkey", _BLOOM_M, _BLOOM_K)
+    probes = c.select(F.col("c_custkey").alias("k")).union(
+        c.select((F.col("c_custkey") + F.lit(1000000)).alias("k"))
+    )
+    return bloom_probe(regs, probes, "k", _BLOOM_M, _BLOOM_K)
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    """DuckDB twin of sketches._bloom_pos for all seeds, as a list."""
+    return (
+        "["
+        + ", ".join(
+            f"(('0x' || substr(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT) % {_BLOOM_M}"
+            for i in range(_BLOOM_K)
+        )
+        + "]"
+    )
+
+
+_BLOOM_REGISTERS_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT unnest({_bloom_pos_sql('o_custkey')}) AS pos FROM orders
+)
+SELECT pos // 63 AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS BIGINT) AS bits
+FROM pos GROUP BY pos // 63
+"""
+
+
+_BLOOM_MEMBERSHIP_SQL = f"""
+WITH bpos AS (
+  SELECT DISTINCT unnest({_bloom_pos_sql('o_custkey')}) AS pos FROM orders
+),
+probes AS (
+  SELECT c_custkey AS k FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000 FROM customer
+),
+ppos AS (
+  SELECT DISTINCT k AS key, unnest({_bloom_pos_sql('k')}) AS pos FROM probes
+),
+hits AS (
+  SELECT p.key, CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+)
+SELECT key, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       SUM(hit) = COUNT(*) AS is_member
+FROM hits GROUP BY key
+"""
+
+
 def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
     """Recursive-CTE replay of BPE training over the word-frequency
     table. One reference to `step` per recursive term: pairs are
@@ -3833,6 +3907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
         "lm_bigram_score": _lm_bigram_score,
+        "bloom_registers": _bloom_registers,
+        "bloom_membership": _bloom_membership,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -3937,6 +4013,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,
+        "bloom_registers": _BLOOM_REGISTERS_SQL,
+        "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,

@@ -265,3 +265,92 @@ def quantile_sketch_query(
     return hit.groupBy(*group_cols, "q_pct").agg(
         F.min(F.expr(_rep_expr("bucket", sub_bits))).alias("est")
     )
+
+
+def _bloom_pos(key: Column, seed: int, m_bits: int) -> Column:
+    """Portable bloom bit position: seed-prefixed md5-60bit pmod m."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 4
+) -> DataFrame:
+    """Mergeable Bloom filter over a key column.
+
+    State = (word_idx, bits) BIGINT registers: the distinct bit
+    positions packed 63 per word (bit 63 stays clear so the packed
+    value is identical in engines with and without unsigned shifts).
+    Two map-side-combinable aggregations — distinct positions, then
+    bit_or per word — so filters from any partitioning of the corpus
+    merge with one more bit_or. The portable seed-prefixed md5 hash
+    keeps the registers engine-reproducible (same trick as KMV/HLL,
+    so the oracle can rebuild the exact BIGINT words).
+
+    At 100 TB this is the membership pre-filter for incremental dedup:
+    build on the corpus fingerprints, broadcast the ~m/63-row register
+    table, drop landing rows whose k bits aren't all set BEFORE the
+    expensive anti-join (false positives only cost a wasted join row).
+    """
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, i, m_bits) for i in range(k_hashes)])
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .distinct()
+        .select(
+            F.expr("pos div 63").alias("word_idx"),
+            # SQL form: the python shiftleft() binding only takes a
+            # literal int shift amount
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("bits"))
+    )
+
+
+def bloom_probe(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Test each probe key against a built filter.
+
+    Output: (key, n_hits, is_member) — member iff every one of the
+    key's distinct bit positions is set. The register table is tiny
+    (m/63 rows), so the position join broadcasts; probing is a narrow
+    map + one broadcast join + one groupBy on the probe key.
+    """
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_bloom_pos(key, i, m_bits) for i in range(k_hashes)])
+    ).alias("pos")
+    probe_pos = probes.select(key.alias("key"), pos).distinct()
+    joined = probe_pos.withColumn(
+        "word_idx", F.expr("pos div 63")
+    ).join(F.broadcast(registers), "word_idx", "left")
+    hit = F.expr(
+        "CAST(shiftright(coalesce(bits, 0L), CAST(pos % 63 AS INT)) % 2 AS BIGINT)"
+    )
+    return (
+        joined.select("key", hit.alias("hit"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum("hit").alias("n_hits"),
+        )
+        .select(
+            "key",
+            "n_hits",
+            (F.col("n_hits") == F.col("n_pos")).alias("is_member"),
+        )
+    )

@@ -499,3 +499,29 @@ def test_hll_sketch_insensitive_to_duplicates_and_partitioning(spark):
         "v",
     ).collect()
     assert a[0].asDict() == b[0].asDict()
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.range(0, 400).select(F.col("id").alias("k"))
+    regs = bloom_build(keys, "k", m_bits=4096, k_hashes=4)
+    # membership is exact for inserted keys (no false negatives)
+    res = bloom_probe(regs, keys, "k", m_bits=4096, k_hashes=4)
+    assert res.where(~F.col("is_member")).count() == 0
+    # non-members mostly rejected (false positives exist but bounded)
+    outside = spark.range(1000, 1400).select(F.col("id").alias("k"))
+    fp = bloom_probe(regs, outside, "k", m_bits=4096, k_hashes=4)
+    n_fp = fp.where(F.col("is_member")).count()
+    assert n_fp < 40  # fill ~0.32, expected fp rate ~1%, generous cap
+    # mergeability: bit_or of two half-filters == the full filter
+    h1 = bloom_build(keys.where("k < 200"), "k", m_bits=4096, k_hashes=4)
+    h2 = bloom_build(keys.where("k >= 200"), "k", m_bits=4096, k_hashes=4)
+    merged = (
+        h1.unionAll(h2)
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert merged.exceptAll(regs).count() == 0 and regs.exceptAll(merged).count() == 0
