@@ -1203,6 +1203,38 @@ GROUP BY subj, pred, obj
 """
 
 
+def _kg_incremental(spark, sf):
+    """Continuous-ingest KG maintenance: the corpus lands in two
+    batches (doc_id parity), each runs the REAL pipeline on its own
+    rows sharing the prepared link dictionary, and merge_kg_edges
+    folds the delta into the standing edge table. The oracle is the
+    FULL-corpus closed-form triple set — incremental == full rebuild,
+    exactly (the edge table is a mergeable aggregate)."""
+    from batch_import_spark.pipeline.kg import (
+        merge_kg_edges,
+        prepare_link_dict,
+        run_kg_pipeline,
+    )
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ld = prepare_link_dict(alias_dict_df(spark))
+    e1 = run_kg_pipeline(
+        _plant_from_docs(docs.where("doc_id % 2 = 0")).drop("ts"),
+        alias_dict_df(spark),
+        link_dict=ld,
+    ).edges
+    e2 = run_kg_pipeline(
+        _plant_from_docs(docs.where("doc_id % 2 = 1")).drop("ts"),
+        alias_dict_df(spark),
+        link_dict=ld,
+    ).edges
+    merged = merge_kg_edges(e1, e2)
+    return merged.select(
+        "subj", "pred", "obj", F.col("n_occurrences").cast("long").alias("n")
+    )
+
+
 def _kg_precision_recall(spark, sf):
     """The north rule's acceptance metric as a driver query: run the
     FULL pipeline (extract → link → canonicalize) over the planted
@@ -3915,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_bfs_hops": _kg_bfs_hops,
         "kg_kcore": _kg_kcore,
+        "kg_incremental": _kg_incremental,
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
@@ -4020,6 +4053,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_bfs_hops": _KG_BFS_SQL,
         "kg_kcore": _KG_KCORE_SQL,
+        "kg_incremental": _KG_FULL_SQL,
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,

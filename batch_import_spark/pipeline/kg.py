@@ -262,6 +262,34 @@ def nodes_from_dict(link_dict: DataFrame) -> DataFrame:
     )
 
 
+def merge_kg_edges(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: fold a new batch's edge table into
+    the standing one.
+
+    The edge table is a MERGEABLE aggregate — counts sum, first/last
+    seen take min/max — because canonical ids come from the shared
+    link dictionary, not from corpus-dependent state, so
+    merge(edges(A), edges(B)) == edges(A ∪ B) exactly (pinned by
+    tests/test_kg_pipeline.py and the `kg_incremental` driver oracle).
+    At 10^12-turn scale this is the continuous-ingest path: each
+    landing batch runs extract→link→aggregate on its own data only,
+    then one vocabulary-sized merge shuffle updates the graph —
+    nothing ever reprocesses the standing corpus. (Dictionary GROWTH
+    is handled upstream: prepare_link_dict is deterministic in the
+    alias table, and a changed dictionary is a re-canonicalization,
+    the same event it is for the reference's index rebuild.)
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy("subj_id", "subj", "pred", "obj_id", "obj")
+        .agg(
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+    )
+
+
 def run_kg_pipeline(
     transcripts: DataFrame,
     alias_dict: DataFrame,

@@ -153,3 +153,41 @@ def test_kg_pagerank_runs_on_canonical_graph(spark, fixture_data):
     assert all(v >= 0 for v in ranks.values())
     assert sum(ranks.values()) <= 10**12    # mass never exceeds teleport total
     assert max(ranks, key=ranks.get) in seeds or ranks[seeds[0]] > 0
+
+
+def test_incremental_merge_equals_full_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.pipeline.kg import (
+        merge_kg_edges,
+        prepare_link_dict,
+        run_kg_pipeline,
+    )
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    import __spark_entry__ as entry
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ld = prepare_link_dict(alias_dict_df(spark))
+    full = run_kg_pipeline(
+        entry._plant_from_docs(docs).drop("ts"), alias_dict_df(spark), link_dict=ld
+    ).edges
+    e1 = run_kg_pipeline(
+        entry._plant_from_docs(docs.where("doc_id % 2 = 0")).drop("ts"),
+        alias_dict_df(spark),
+        link_dict=ld,
+    ).edges
+    e2 = run_kg_pipeline(
+        entry._plant_from_docs(docs.where("doc_id % 2 = 1")).drop("ts"),
+        alias_dict_df(spark),
+        link_dict=ld,
+    ).edges
+    merged = merge_kg_edges(e1, e2)
+    # full-column equality: counts sum, first/last seen min/max align
+    cols = ["subj_id", "subj", "pred", "obj_id", "obj", "n_occurrences",
+            "first_seen", "last_seen"]
+    a, b = merged.select(cols), full.select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert merged.agg(F.sum("n_occurrences")).collect()[0][0] == \
+        full.agg(F.sum("n_occurrences")).collect()[0][0]
