@@ -1006,6 +1006,58 @@ FROM hits GROUP BY key
 """
 
 
+_CMS_W, _CMS_D = 256, 4
+
+
+def _cms_heavy_hitters(spark, sf):
+    """Count-min sketch over the event stream's user ids (width 256 ×
+    depth 4 — deliberately tight so collisions exercise the
+    min-over-seeds estimate), point-queried for every distinct user
+    and joined to the exact count. Invariant: cms_est >= n_true
+    always, equality for most keys. Registers are mergeable by
+    (seed, pos) sum — the constant-state heavy-hitter counter for
+    streams too wide to count exactly."""
+    from batch_import_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    regs = cms_build(ev, "user_id", _CMS_W, _CMS_D)
+    probes = ev.select("user_id").distinct()
+    est = cms_estimate(regs, probes, "user_id", _CMS_W, _CMS_D)
+    true = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    return est.join(true, "key").select("key", "cms_est", "n_true")
+
+
+_CMS_POS = (
+    "(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || "
+    f"CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % {_CMS_W}"
+)
+
+_CMS_SQL = f"""
+WITH seeds AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS seed),
+cells AS (
+  SELECT seed, {_CMS_POS} AS pos FROM events, seeds
+),
+regs AS (
+  SELECT seed, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY seed, pos
+),
+probes AS (SELECT DISTINCT user_id FROM events),
+ppos AS (
+  SELECT user_id, seed, {_CMS_POS} AS pos FROM probes, seeds
+),
+est AS (
+  SELECT p.user_id AS key,
+         CAST(MIN(COALESCE(r.cnt, 0)) AS BIGINT) AS cms_est
+  FROM ppos p LEFT JOIN regs r ON p.seed = r.seed AND p.pos = r.pos
+  GROUP BY p.user_id
+)
+SELECT e.key, e.cms_est, CAST(t.n_true AS BIGINT) AS n_true
+FROM est e JOIN (SELECT user_id AS key, COUNT(*) AS n_true FROM events GROUP BY user_id) t
+  ON e.key = t.key
+"""
+
+
 def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
     """Recursive-CTE replay of BPE training over the word-frequency
     table. One reference to `step` per recursive term: pairs are
@@ -3941,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_score": _lm_bigram_score,
         "bloom_registers": _bloom_registers,
         "bloom_membership": _bloom_membership,
+        "cms_heavy_hitters": _cms_heavy_hitters,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4048,6 +4101,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_score": _LM_SCORE_SQL,
         "bloom_registers": _BLOOM_REGISTERS_SQL,
         "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
+        "cms_heavy_hitters": _CMS_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,

@@ -354,3 +354,59 @@ def bloom_probe(
             (F.col("n_hits") == F.col("n_pos")).alias("is_member"),
         )
     )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch over a key stream: (seed, pos, cnt) registers.
+
+    One explode over the `depth` seeded portable hashes, one
+    map-side-combinable groupBy — constant state (depth × width
+    cells), mergeable across any partitioning of the stream by
+    summing cnt per (seed, pos). The heavy-hitter counter for streams
+    too wide to count exactly: estimates overcount only (collisions
+    add, never subtract), error ≤ 2N/width with prob 1 - 2^-depth.
+    """
+    key = F.col(key_col)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"), _bloom_pos(key, i, width).alias("pos")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(arr).alias("sp"))
+        .groupBy(F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: est(key) = min over seeds of the
+    key's register cell. Registers broadcast (depth × width rows);
+    probing is a narrow map + broadcast join + per-key min."""
+    key = F.col(key_col)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"), _bloom_pos(key, i, width).alias("pos")
+            )
+            for i in range(depth)
+        ]
+    )
+    probe_pos = probes.select(key.alias("key"), F.explode(arr).alias("sp")).select(
+        "key", F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos")
+    )
+    joined = probe_pos.join(F.broadcast(registers), ["seed", "pos"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+    )

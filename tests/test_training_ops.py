@@ -525,3 +525,26 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
         .agg(F.bit_or("bits").alias("bits"))
     )
     assert merged.exceptAll(regs).count() == 0 and regs.exceptAll(merged).count() == 0
+
+
+def test_cms_overcounts_only_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    regs = cms_build(ev, "user_id", width=64, depth=4)  # tight → collisions
+    probes = ev.select("user_id").distinct()
+    est = cms_estimate(regs, probes, "user_id", width=64, depth=4)
+    true = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    j = est.join(true, "key")
+    assert j.where(F.col("cms_est") < F.col("n_true")).count() == 0
+    # mergeability: register-exact fold of two halves == full build
+    h1 = cms_build(ev.where("event_id % 2 = 0"), "user_id", 64, 4)
+    h2 = cms_build(ev.where("event_id % 2 = 1"), "user_id", 64, 4)
+    merged = (
+        h1.unionAll(h2).groupBy("seed", "pos").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.exceptAll(regs).count() == 0 and regs.exceptAll(merged).count() == 0
