@@ -1058,6 +1058,31 @@ FROM est e JOIN (SELECT user_id AS key, COUNT(*) AS n_true FROM events GROUP BY 
 """
 
 
+def _split_leakage(spark, sf):
+    """Eval-contamination audit: hash-split the corpus 90/10, then
+    surface every fingerprint-duplicate pair that straddles the split
+    (operators/sampling.py split_leakage_audit). Uses the same
+    20-char-prefix fingerprint as dedup_exact so the planted prefix
+    collisions exercise the join."""
+    from batch_import_spark.operators.sampling import split_leakage_audit
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return split_leakage_audit(d, F.md5(F.substring(F.col("text"), 1, 20)))
+
+
+_SPLIT_LEAKAGE_SQL = """
+WITH f AS (
+  SELECT doc_id, md5(substr(text, 1, 20)) AS fp,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10 = 0
+           AS is_test
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+FROM f a JOIN f b ON a.fp = b.fp
+WHERE a.doc_id < b.doc_id AND a.is_test <> b.is_test
+"""
+
+
 def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
     """Recursive-CTE replay of BPE training over the word-frequency
     table. One reference to `step` per recursive term: pairs are
@@ -3994,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_registers": _bloom_registers,
         "bloom_membership": _bloom_membership,
         "cms_heavy_hitters": _cms_heavy_hitters,
+        "split_leakage_audit": _split_leakage,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4102,6 +4128,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_registers": _BLOOM_REGISTERS_SQL,
         "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
         "cms_heavy_hitters": _CMS_SQL,
+        "split_leakage_audit": _SPLIT_LEAKAGE_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,

@@ -86,3 +86,59 @@ def stratified_sample_k(
         .where(F.col("_srn") <= k)
         .drop("_srn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    test_mod: int = 10,
+    test_rem: int = 0,
+    flag_col: str = "is_test",
+) -> DataFrame:
+    """Deterministic, engine-portable train/test split: a row is test
+    iff portable_hash60(key) % test_mod == test_rem. Reproducible
+    forever (no RNG state), stable under re-partitioning, and any SQL
+    engine can recompute the assignment for audits."""
+    from batch_import_spark.operators.sketches import portable_hash60
+
+    h = portable_hash60(F.concat_ws("\x1e", *[F.col(c) for c in key_cols]))
+    return df.withColumn(flag_col, F.pmod(h, F.lit(test_mod)) == test_rem)
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    fingerprint: Column,
+    id_col: str = "doc_id",
+    test_mod: int = 10,
+    test_rem: int = 0,
+    max_group_size: int | None = 1000,
+) -> DataFrame:
+    """Find evaluation-set contamination: pairs of fingerprint-equal
+    documents that landed on OPPOSITE sides of the hash split (a test
+    doc whose duplicate is in train inflates eval scores).
+
+    Equi-join on the fingerprint with a per-group size cap
+    (boilerplate fingerprints shared by >max_group_size docs are the
+    hot keys that would go quadratic; they belong to the dedup pass,
+    not the audit — same guard discipline as operators/buckets.py).
+    Output: (doc_a, doc_b, fp) with doc_a < doc_b, train/test mixed.
+    """
+    from batch_import_spark.operators.sketches import portable_hash60
+
+    t = df.select(
+        F.col(id_col).alias("id"),
+        fingerprint.alias("fp"),
+        (F.pmod(portable_hash60(F.col(id_col)), F.lit(test_mod)) == test_rem).alias(
+            "is_test"
+        ),
+    )
+    if max_group_size is not None:
+        sizes = t.groupBy("fp").agg(F.count(F.lit(1)).alias("_gsz"))
+        t = t.join(sizes.where(F.col("_gsz") <= max_group_size), "fp").drop("_gsz")
+    a = t.select(F.col("id").alias("doc_a"), "fp", F.col("is_test").alias("_ta"))
+    b = t.select(F.col("id").alias("doc_b"), "fp", F.col("is_test").alias("_tb"))
+    return (
+        a.join(b, "fp")
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("_ta") != F.col("_tb")))
+        .select("doc_a", "doc_b", "fp")
+    )

@@ -49,3 +49,40 @@ def test_stratified_exact_k(spark, docs):
     # small groups keep everything
     tiny = docs.where(F.col("doc_id") < 4)
     assert stratified_sample_k(tiny, ["grp"], 7, ["doc_id"]).count() == 4
+
+
+def test_hash_split_and_leakage_audit(spark):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.operators.sampling import hash_split, split_leakage_audit
+
+    df = spark.createDataFrame(
+        [(i, ["aaa", "bbb", "ccc"][i % 3]) for i in range(60)],
+        "doc_id: long, text: string",
+    )
+    # split is deterministic and partition-stable
+    s1 = {r.doc_id: r.is_test for r in hash_split(df, ["doc_id"]).collect()}
+    s2 = {
+        r.doc_id: r.is_test
+        for r in hash_split(df.repartition(7), ["doc_id"]).collect()
+    }
+    assert s1 == s2 and 0 < sum(s1.values()) < 60
+
+    pairs = split_leakage_audit(df, F.col("text")).collect()
+    # brute force: same text, opposite split sides
+    from batch_import_spark.operators.sketches import portable_hash60  # noqa: F401
+
+    rows = df.collect()
+    split = {r.doc_id: s1[r.doc_id] for r in rows}
+    txt = {r.doc_id: r.text for r in rows}
+    want = {
+        (a, b)
+        for a in txt
+        for b in txt
+        if a < b and txt[a] == txt[b] and split[a] != split[b]
+    }
+    assert {(r.doc_a, r.doc_b) for r in pairs} == want
+    # the hot-group cap drops everything when groups exceed it
+    assert (
+        split_leakage_audit(df, F.col("text"), max_group_size=2).count() == 0
+    )
