@@ -1202,6 +1202,66 @@ GROUP BY symbol
 )
 
 
+def _bpe_packed_batches(spark, sf):
+    """End-to-end training-batch prep: tokenize every doc with the
+    LEARNED BPE merges (zero-shuffle replace chain), then greedily
+    pack docs into 512-token bins within 8 hash groups — the
+    tokenize→pack composition a pretraining dataloader materializes.
+    The oracle chains the BPE training-replay CTE into the greedy
+    packing recurrence."""
+    from batch_import_spark.functions.bpe import encode_text, token_count_expr
+    from batch_import_spark.operators.packing import pack_sequences
+
+    merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    sized = d.select(
+        "doc_id", token_count_expr(encode_text("text", merges)).alias("n_tok")
+    )
+    return pack_sequences(
+        sized, "n_tok", ["doc_id"], capacity=512, n_groups=8, seed=11
+    )
+
+
+def _bpe_packed_sql() -> str:
+    return (
+        "WITH RECURSIVE"
+        + _bpe_step_cte()
+        + rf""",
+fin AS (SELECT word, s FROM step WHERE it = (SELECT max(it) FROM step)),
+docw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+sz AS (
+  SELECT d.doc_id,
+         CAST(SUM((length(f.s) - length(replace(f.s, chr(31), ''))) / 2) AS BIGINT)
+           AS size,
+         {_KEYED_H_SQL.format(seed=11, key="d.doc_id")} AS h
+  FROM docw d JOIN fin f ON d.word = f.word
+  WHERE d.word <> ''
+  GROUP BY d.doc_id
+),
+s AS (
+  SELECT doc_id, size, CAST(h % 8 AS INT) AS group_id,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM sz
+),
+p AS (
+  SELECT group_id, rn, doc_id, size, CAST(0 AS BIGINT) AS pack_id,
+         size AS fill, CAST(0 AS INT) AS pack_pos
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.group_id, s.rn, s.doc_id, s.size,
+         CASE WHEN p.fill + s.size <= 512 THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + s.size <= 512 THEN p.fill + s.size ELSE s.size END,
+         CASE WHEN p.fill + s.size <= 512 THEN p.pack_pos + 1 ELSE 0 END
+  FROM p JOIN s ON s.group_id = p.group_id AND s.rn = p.rn + 1
+)
+SELECT group_id, doc_id, size, pack_id, pack_pos FROM p
+"""
+    )
+
+
 def _kg_extract_canonicalize(spark, sf):
     return _kg_triples(spark, sf)
 
@@ -4020,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": _bloom_membership,
         "cms_heavy_hitters": _cms_heavy_hitters,
         "split_leakage_audit": _split_leakage,
+        "bpe_packed_batches": _bpe_packed_batches,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4129,6 +4190,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": _BLOOM_MEMBERSHIP_SQL,
         "cms_heavy_hitters": _CMS_SQL,
         "split_leakage_audit": _SPLIT_LEAKAGE_SQL,
+        "bpe_packed_batches": _bpe_packed_sql(),
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
