@@ -1596,6 +1596,44 @@ FROM peel WHERE iter = 30 GROUP BY u
 """
 
 
+def _stream_kg_incremental(spark, sf):
+    """Continuous-ingest KG over a real multi-batch stream: the corpus
+    lands as two parquet files (doc parity), maxFilesPerTrigger=1
+    forces two micro-batches, and foreachBatch folds each batch's
+    edges into the standing state (streaming/incremental.py). Final
+    state must equal the one-shot full build — the oracle is the same
+    closed-form full-corpus triple set as kg_pipeline_full."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from batch_import_spark.pipeline.kg import prepare_link_dict
+    from batch_import_spark.sources.transcripts import alias_dict_df
+    from batch_import_spark.streaming.incremental import run_incremental_kg
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_kg_incr_")
+    tbl = pq.read_table(f"{sf}/documents.parquet")
+    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    pq.write_table(tbl.filter(pc.equal(parity, 0)), os.path.join(stream_dir, "b0.parquet"))
+    pq.write_table(tbl.filter(pc.equal(parity, 1)), os.path.join(stream_dir, "b1.parquet"))
+
+    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream_docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    t = _plant_from_docs(stream_docs).drop("ts")
+    ld = prepare_link_dict(alias_dict_df(spark))
+    edges, n_batches = run_incremental_kg(t, alias_dict_df(spark), link_dict=ld)
+    assert n_batches == 2, f"expected 2 micro-batches, got {n_batches}"
+    return edges.select(
+        "subj", "pred", "obj", F.col("n_occurrences").cast("long").alias("n")
+    )
+
+
 def _stream_kg_windowed(spark, sf):
     """Structured-Streaming KG over a bounded replay of the planted
     transcripts: readStream(parquet) → pandas extraction → broadcast
@@ -4091,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
+        "stream_kg_incremental": _stream_kg_incremental,
         "stream_sessions": _stream_sessions,
         "stream_dedup": _stream_dedup,
         "triangle_counts": _triangle_counts,
@@ -4200,6 +4239,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,
+        "stream_kg_incremental": _KG_FULL_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "triangle_counts": _TRIANGLES_SQL,

@@ -195,3 +195,26 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["k"] for r in spark.table("dedup_stream_out").collect())
     assert got == ["a", "b", "c"]
+
+
+def test_incremental_stream_equals_full_build(spark):
+    """Two micro-batches through the foreachBatch fold == one-shot
+    batch build, full column equality (the continuous-ingest
+    invariant)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.pipeline.kg import prepare_link_dict, run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    sf = "/root/testdata/sf0.001"
+    streamed = entry._stream_kg_incremental(spark, sf)
+    full = run_kg_pipeline(
+        entry._planted_transcripts_full(spark, sf).drop("ts"),
+        alias_dict_df(spark),
+        link_dict=prepare_link_dict(alias_dict_df(spark)),
+    ).edges.select(
+        "subj", "pred", "obj", F.col("n_occurrences").cast("long").alias("n")
+    )
+    assert streamed.exceptAll(full).count() == 0
+    assert full.exceptAll(streamed).count() == 0
