@@ -120,6 +120,11 @@ def main() -> int:
         "modularity",
         "bpe_tokenize",
         "media_decode_jpeg",
+        "lm_bigram_score",
+        "cms_heavy_hitters",
+        "bloom_membership",
+        "kg_incremental",
+        "split_leakage_audit",
     ]
     for name in bench_queries:
         t0 = time.time()
