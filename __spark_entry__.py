@@ -1083,6 +1083,94 @@ WHERE a.doc_id < b.doc_id AND a.is_test <> b.is_test
 """
 
 
+def _winnowing_sketch(spark, sf):
+    """Winnowing (MOSS) positional fingerprints per document
+    (operators/dedup.py winnowing_sketch): window-min selection over
+    char-8-gram hashes, window 4 — guarantees shared substrings of
+    length >= 11 share a fingerprint. Oracle replays the identical
+    window-min + XOR-register arithmetic."""
+    from batch_import_spark.operators.dedup import winnowing_sketch
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnowing_sketch(d, "doc_id", "text", k=8, window=4)
+
+
+_WINNOWING_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, length(t) - 7)) AS pos
+  FROM norm
+),
+g AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(substr(t, pos, 8)), 1, 15))::BIGINT AS h
+  FROM g0
+),
+w AS (
+  SELECT doc_id, pos,
+         min({'h': h, 'np': -pos})
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, (wmin).h AS h FROM w WHERE pos >= 4),
+cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+sk AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         CAST(bit_xor(h) AS BIGINT) AS sketch_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_grams,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       COALESCE(s.sketch_xor, 0) AS sketch_xor
+FROM cnts c LEFT JOIN sk s USING (doc_id)
+"""
+
+
+def _context_token_budget(spark, sf):
+    """Token-budgeted context sizing (conversations.py
+    context_within_budget): how many preceding items fit in a
+    150-token window, per source stream — one prefix sum + one
+    RANGE-frame window, the dataloader-side math for SFT context
+    assembly. Run over the documents table (source = stream,
+    doc_id = order) so the oracle is closed-form."""
+    from batch_import_spark.operators.conversations import context_within_budget
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        "text",
+    )
+    return context_within_budget(d, budget=150)
+
+
+_CONTEXT_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT source AS conv_id, doc_id AS turn_idx,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT conv_id, turn_idx, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS sprev
+  FROM t
+)
+SELECT conv_id, turn_idx, n_tok,
+       CAST(COUNT(*) OVER fr - 1 AS BIGINT) AS n_ctx_turns,
+       CAST(SUM(n_tok) OVER fr - n_tok AS BIGINT) AS ctx_tokens
+FROM p
+WINDOW fr AS (PARTITION BY conv_id ORDER BY sprev
+              RANGE BETWEEN 150 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _bpe_step_cte(n_merges: int = _BPE_N_MERGES, min_pair_count: int = 2) -> str:
     """Recursive-CTE replay of BPE training over the word-frequency
     table. One reference to `step` per recursive term: pairs are
@@ -1593,6 +1681,157 @@ peel AS (
 )
 SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
 FROM peel WHERE iter = 30 GROUP BY u
+"""
+
+
+def _kg_edge_provenance(spark, sf):
+    """Verifies the edge table's PROVENANCE metadata — the
+    first_seen/last_seen (conv, turn) structs the pipeline aggregates
+    per canonical triple (the lineage a serving layer shows as 'where
+    did this fact come from'). The oracle recomputes the min/max
+    struct over the closed-form planted occurrences."""
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    return edges.select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("n_occurrences").cast("long").alias("n"),
+        F.col("first_seen.conv_id").alias("first_conv"),
+        F.col("first_seen.turn_idx").cast("long").alias("first_turn"),
+        F.col("last_seen.conv_id").alias("last_conv"),
+        F.col("last_seen.turn_idx").cast("long").alias("last_turn"),
+    )
+
+
+_KG_PROVENANCE_SQL = f"""
+WITH p AS (SELECT doc_id, subj, pred, obj FROM ({_PLANT_SQL})),
+j AS (
+  SELECT p.subj, p.pred, p.obj, d.source AS conv, CAST(p.doc_id AS INT) AS turn
+  FROM p JOIN documents d USING (doc_id)
+)
+SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n,
+       (min({{'c': conv, 't': turn}})).c AS first_conv,
+       CAST((min({{'c': conv, 't': turn}})).t AS BIGINT) AS first_turn,
+       (max({{'c': conv, 't': turn}})).c AS last_conv,
+       CAST((max({{'c': conv, 't': turn}})).t AS BIGINT) AS last_turn
+FROM j GROUP BY subj, pred, obj
+"""
+
+
+def _kg_link_prediction(spark, sf):
+    """KG completion over the ACTUAL canonicalized output: resource-
+    allocation link-prediction scores for non-adjacent entity pairs
+    sharing neighbors (graph_stats.py link_prediction_scores) — the
+    'which edges are missing' query every KG serving layer runs.
+    Integer ppm arithmetic; the oracle replays the wedge join over
+    the closed-form planted edge set."""
+    from batch_import_spark.operators.graph_stats import link_prediction_scores
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    g = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    return link_prediction_scores(g)
+
+
+_KG_LINKPRED_SQL = f"""
+WITH raw AS (SELECT DISTINCT subj AS a, obj AS b FROM ({_PLANT_SQL})
+             WHERE subj <> obj),
+e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw),
+b2 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM b2 GROUP BY u),
+w AS (
+  SELECT za.v AS a, zb.v AS b, za.u AS z
+  FROM b2 za JOIN b2 zb ON za.u = zb.u
+  WHERE za.v < zb.v
+),
+s AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(1000000 // d) AS BIGINT) AS ra_ppm
+  FROM w JOIN deg ON w.z = deg.u
+  GROUP BY a, b
+)
+SELECT s.a AS u, s.b AS v, s.n_common, s.ra_ppm
+FROM s LEFT JOIN e ON s.a = e.u AND s.b = e.v
+WHERE e.u IS NULL
+"""
+
+
+def _kg_negative_samples(spark, sf):
+    """Training-data prep for KG-embedding models (TransE-family):
+    K=2 deterministic corrupt-object negatives per canonical triple,
+    under the FILTERED protocol (a corruption that happens to be a
+    true triple is dropped, including the identity corruption). The
+    corrupted object is picked by portable hash into the dense
+    entity index, so the sample is reproducible in any engine and
+    stable under repartitioning — no rand() anywhere. Entity pool is
+    vocabulary-bounded: the index window and the broadcast join are
+    the same discipline as the link dictionary."""
+    from pyspark.sql.window import Window
+
+    from batch_import_spark.operators.sketches import portable_hash60
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    triples = edges.select("subj", "pred", "obj").distinct().localCheckpoint()
+    ents = (
+        triples.select(F.col("subj").alias("ent"))
+        .union(triples.select(F.col("obj").alias("ent")))
+        .distinct()
+    )
+    n_ents = ents.count()  # canonical vocabulary — bounded by contract
+    ents_idx = ents.withColumn(
+        "idx", F.row_number().over(Window.orderBy("ent")) - 1
+    )
+    cand = triples.withColumn("k", F.explode(F.array(F.lit(0), F.lit(1))))
+    cand = cand.withColumn(
+        "idx",
+        F.pmod(
+            portable_hash60(F.concat_ws("|", "subj", "pred", "obj", "k")),
+            F.lit(n_ents),
+        ),
+    )
+    neg = cand.join(F.broadcast(ents_idx), "idx").select(
+        "subj", "pred", F.col("ent").alias("neg_obj"), "k"
+    )
+    return neg.join(
+        triples.select("subj", "pred", F.col("obj").alias("neg_obj")),
+        ["subj", "pred", "neg_obj"],
+        "left_anti",
+    )
+
+
+_KG_NEG_SQL = f"""
+WITH triples AS (SELECT DISTINCT subj, pred, obj FROM ({_PLANT_SQL})),
+ents AS (SELECT DISTINCT ent FROM
+         (SELECT subj AS ent FROM triples UNION ALL SELECT obj FROM triples)),
+ei AS (SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS idx FROM ents),
+n AS (SELECT COUNT(*) AS c FROM ents),
+cand AS (
+  SELECT t.subj, t.pred, t.obj, ks.k,
+         (('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj || '|'
+                              || CAST(ks.k AS VARCHAR)), 1, 15))::BIGINT) % n.c
+           AS idx
+  FROM triples t, (SELECT unnest([0, 1]) AS k) ks, n
+),
+neg AS (
+  SELECT c.subj, c.pred, e.ent AS neg_obj, CAST(c.k AS INT) AS k
+  FROM cand c JOIN ei e USING (idx)
+)
+SELECT g.subj, g.pred, g.neg_obj, g.k
+FROM neg g
+LEFT JOIN triples t
+  ON g.subj = t.subj AND g.pred = t.pred AND g.neg_obj = t.obj
+WHERE t.subj IS NULL
 """
 
 
@@ -4119,6 +4358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _cms_heavy_hitters,
         "split_leakage_audit": _split_leakage,
         "bpe_packed_batches": _bpe_packed_batches,
+        "context_token_budget": _context_token_budget,
+        "winnowing_sketch": _winnowing_sketch,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4126,6 +4367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_hops": _kg_bfs_hops,
         "kg_kcore": _kg_kcore,
         "kg_incremental": _kg_incremental,
+        "kg_link_prediction": _kg_link_prediction,
+        "kg_negative_samples": _kg_negative_samples,
+        "kg_edge_provenance": _kg_edge_provenance,
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
@@ -4230,12 +4474,17 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _CMS_SQL,
         "split_leakage_audit": _SPLIT_LEAKAGE_SQL,
         "bpe_packed_batches": _bpe_packed_sql(),
+        "context_token_budget": _CONTEXT_BUDGET_SQL,
+        "winnowing_sketch": _WINNOWING_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,
         "kg_bfs_hops": _KG_BFS_SQL,
         "kg_kcore": _KG_KCORE_SQL,
         "kg_incremental": _KG_FULL_SQL,
+        "kg_link_prediction": _KG_LINKPRED_SQL,
+        "kg_negative_samples": _KG_NEG_SQL,
+        "kg_edge_provenance": _KG_PROVENANCE_SQL,
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,

@@ -146,3 +146,56 @@ def sessionize(
         F.min(ts_sec).alias("start_sec"),
         F.max(ts_sec).alias("end_sec"),
     )
+
+
+def context_within_budget(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted context sizing: for every turn, how many
+    preceding turns (newest-first) fit inside a ``budget``-token
+    context window, and how many tokens they hold — the dataloader
+    question every SFT/agent-replay pipeline asks per example.
+
+    One prefix sum + one RANGE-frame count, both over the same
+    per-conversation sort: with sprev = tokens before this turn,
+    turn j fits iff sprev_j >= sprev_i - budget, and since sprev is
+    monotone the fitting set is exactly the RANGE frame
+    [sprev_i - budget, sprev_i]. Bounded state per conversation, no
+    self-join, no per-row Python. Requires non-empty turns (sprev
+    strictly increasing — blank turns would tie the RANGE ordering).
+    """
+    tok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    w_prefix = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_prev = df.select(
+        conv_col,
+        order_col,
+        tok.alias("n_tok"),
+        F.coalesce(F.sum(tok).over(w_prefix), F.lit(0)).alias("_sprev"),
+    )
+    w_range = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col("_sprev"))
+        .rangeBetween(-budget, 0)
+    )
+    return with_prev.select(
+        conv_col,
+        order_col,
+        "n_tok",
+        (F.count(F.lit(1)).over(w_range) - 1).cast("long").alias("n_ctx_turns"),
+        (F.sum("n_tok").over(w_range) - F.col("n_tok")).cast("long").alias(
+            "ctx_tokens"
+        ),
+    )

@@ -466,3 +466,68 @@ def near_dup_resolution(
         F.col("component_id").alias("keeper"),
         (F.col("node_id") == F.col("component_id")).alias("is_kept"),
     )
+
+
+def winnowing_sketch(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local-similarity sketch): hash every char
+    k-gram of the normalized text, then from every window of `window`
+    consecutive k-gram hashes keep the minimum (ties to the rightmost
+    position); the distinct kept hashes are the document's sketch.
+    Guarantees any shared substring of length >= k + window - 1 shares
+    a fingerprint — the positional dup-detection primitive exact/
+    MinHash fingerprints can't provide.
+
+    All engine-portable integer ops: portable 60-bit k-gram hashes, a
+    RANGE-frame window min of (hash, -pos) structs, distinct. Output:
+    (id, n_grams, n_selected, sketch_xor) where sketch_xor is the
+    bit-XOR register of the sketch (order-free, mergeable, BIGINT).
+    Per-row fan-out is ~len(text) k-gram rows — a narrow explode +
+    one partition-local window per doc, no shuffle across docs.
+    """
+    from batch_import_spark.operators.sketches import portable_hash60
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_pos = F.length(norm) - k + 1
+    grams = F.when(
+        n_pos >= 1,
+        F.expr(
+            f"transform(sequence(1, length(regexp_replace(lower(trim({text_col})), "
+            f"'\\\\s+', ' ')) - {k - 1}), i -> i)"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("_norm"),
+        F.explode(grams).alias("pos"),
+    ).select(
+        "id",
+        "pos",
+        portable_hash60(F.substring(F.col("_norm"), F.col("pos"), k)).alias("h"),
+    )
+    from pyspark.sql.window import Window as W
+
+    fr = W.partitionBy("id").orderBy("pos").rangeBetween(-(window - 1), 0)
+    winner = g.select(
+        "id",
+        "pos",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(fr).alias("w"),
+    ).where(F.col("pos") >= window)
+    sel = winner.select("id", F.col("w.h").alias("h")).distinct()
+    counts = g.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    sk = sel.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.expr("bit_xor(h)").cast("long").alias("sketch_xor"),
+    )
+    return counts.join(sk, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+        F.coalesce("sketch_xor", F.lit(0)).cast("long").alias("sketch_xor"),
+    )
