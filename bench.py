@@ -125,6 +125,9 @@ def main() -> int:
         "bloom_membership",
         "kg_incremental",
         "split_leakage_audit",
+        "kg_link_prediction",
+        "winnowing_sketch",
+        "context_token_budget",
     ]
     for name in bench_queries:
         t0 = time.time()
