@@ -1083,6 +1083,42 @@ WHERE a.doc_id < b.doc_id AND a.is_test <> b.is_test
 """
 
 
+def _rolling_fingerprint(spark, sf):
+    """Rabin polynomial rolling-hash fingerprints (functions/text.py
+    rolling_fingerprint): full-doc hash + 64-char-prefix hash, pure
+    integer fold — the extendable/content-defined-chunking companion
+    to the md5 digest fingerprint. Oracle replays the identical
+    (acc*B + byte) mod P fold."""
+    from batch_import_spark.functions.text import rolling_fingerprint
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("rabin_hash"),
+        rolling_fingerprint("text", prefix_len=64).alias("rabin_prefix64"),
+    )
+
+
+_ROLLING_FP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(s) = 0 THEN 0 ELSE list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(s)),
+                          i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 257 + x) % 999999999999989) END AS rabin_hash,
+       CASE WHEN length(s) = 0 THEN 0 ELSE list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, least(length(s), 64)),
+                          i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 257 + x) % 999999999999989) END AS rabin_prefix64
+FROM t
+"""
+
+
 def _winnowing_sketch(spark, sf):
     """Winnowing (MOSS) positional fingerprints per document
     (operators/dedup.py winnowing_sketch): window-min selection over
@@ -4360,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_packed_batches": _bpe_packed_batches,
         "context_token_budget": _context_token_budget,
         "winnowing_sketch": _winnowing_sketch,
+        "rolling_fingerprint": _rolling_fingerprint,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4476,6 +4513,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_packed_batches": _bpe_packed_sql(),
         "context_token_budget": _CONTEXT_BUDGET_SQL,
         "winnowing_sketch": _WINNOWING_SQL,
+        "rolling_fingerprint": _ROLLING_FP_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,

@@ -118,3 +118,30 @@ def doc_fingerprint(col: Column | str) -> Column:
     portable (same value computable in any SQL engine)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+#: Rabin polynomial fingerprint constants — base 257 (> any byte),
+#: modulus the largest prime below 10^15 so acc*B + c stays far inside
+#: int64 (max ~2.57e17); identical arithmetic in any engine.
+ROLL_B = 257
+ROLL_P = 999_999_999_999_989
+
+
+def rolling_fingerprint(col: Column | str, prefix_len: int | None = None) -> Column:
+    """Polynomial (Rabin/Karp) rolling-hash fingerprint of the
+    normalized text: h = fold(h*B + byte) mod P — the content hash
+    that supports incremental extension and content-defined chunking
+    (unlike digest fingerprints). Pure integer expression, engine-
+    portable; `prefix_len` fingerprints only the first N chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    if prefix_len is not None:
+        norm = F.substring(norm, 1, prefix_len)
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
+        )
+    )

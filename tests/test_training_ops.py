@@ -548,3 +548,28 @@ def test_cms_overcounts_only_and_merges(spark):
         h1.unionAll(h2).groupBy("seed", "pos").agg(F.sum("cnt").alias("cnt"))
     )
     assert merged.exceptAll(regs).count() == 0 and regs.exceptAll(merged).count() == 0
+
+
+def test_rolling_fingerprint_reference_and_extension(spark):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.functions.text import ROLL_B, ROLL_P, rolling_fingerprint
+
+    texts = ["Hello  World", "", "a", "x" * 200]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", rolling_fingerprint("text").alias("h")).collect()}
+
+    def ref(t):
+        norm = " ".join(t.lower().strip().split())
+        h = 0
+        for c in norm:
+            h = (h * ROLL_B + ord(c)) % ROLL_P
+        return h
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t)
+    # the defining rolling property: hash(s + c) = (hash(s)*B + c) mod P
+    assert ref("abc") == (ref("ab") * ROLL_B + ord("c")) % ROLL_P
