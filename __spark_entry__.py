@@ -1083,6 +1083,44 @@ WHERE a.doc_id < b.doc_id AND a.is_test <> b.is_test
 """
 
 
+def _cdc_chunks(spark, sf):
+    """Content-defined chunking (operators/packing.py cdc_chunks):
+    Rabin-style cuts where the 8-gram hash % 32 == 0 — boundaries
+    move with the content, so chunk-level dedup survives insertions.
+    Zero-shuffle narrow map; the oracle replays the identical cut
+    rule with list functions."""
+    from batch_import_spark.operators.packing import cdc_chunks
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return cdc_chunks(d, "doc_id", "text", gram=8, mask=32)
+
+
+_CDC_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+         list_prepend(1,
+           CASE WHEN length(s) - 7 >= 2 THEN
+             list_filter(generate_series(2, length(s) - 7),
+               i -> (('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT)
+                    % 32 = 0)
+           ELSE [] END) AS starts
+  FROM t
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       CAST(COALESCE(starts[i + 2], length(s) + 1) - starts[i + 1] AS BIGINT)
+         AS chunk_len,
+       md5(substr(s, starts[i + 1],
+                  COALESCE(starts[i + 2], length(s) + 1) - starts[i + 1]))
+         AS chunk_md5
+FROM c, unnest(generate_series(0, len(starts) - 1)) AS u(i)
+"""
+
+
 def _rolling_fingerprint(spark, sf):
     """Rabin polynomial rolling-hash fingerprints (functions/text.py
     rolling_fingerprint): full-doc hash + 64-char-prefix hash, pure
@@ -4397,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_token_budget": _context_token_budget,
         "winnowing_sketch": _winnowing_sketch,
         "rolling_fingerprint": _rolling_fingerprint,
+        "cdc_chunks": _cdc_chunks,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4514,6 +4553,7 @@ def oracle_sql() -> dict[str, str]:
         "context_token_budget": _CONTEXT_BUDGET_SQL,
         "winnowing_sketch": _WINNOWING_SQL,
         "rolling_fingerprint": _ROLLING_FP_SQL,
+        "cdc_chunks": _CDC_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,

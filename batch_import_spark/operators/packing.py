@@ -232,3 +232,63 @@ def packing_waste(
         "waste",
         F.expr(f"waste * 1000000L div (n_bins * {capacity}L)").alias("waste_ppm"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    mask: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style CDC): cut the normalized
+    text wherever the local `gram`-char hash lands on the mask
+    (h % mask == 0, expected chunk length ≈ mask chars). Unlike the
+    fixed windows of `chunk_documents`, boundaries move WITH the
+    content, so an insertion early in a document changes only the
+    chunks it touches — the chunk-level dedup/delta primitive
+    (backup dedup, LLM near-dup at sub-document grain).
+
+    Pure expressions end-to-end: position filter -> boundary array ->
+    per-chunk substring + md5; narrow map, zero shuffle, engine-
+    portable (the oracle replays the identical cut rule). Output:
+    (id, chunk_idx, chunk_len, chunk_md5).
+    """
+    from batch_import_spark.operators.sketches import portable_hash60
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    d = df.select(F.col(id_col).alias("id"), norm.alias("_t"))
+    n = F.length("_t")
+    # cut positions: 2..len-gram+1 (never position 1 — that is always
+    # a chunk start); guarded sequence for short docs (negative-step
+    # inference trap on sequence(2, <2))
+    positions = F.when(
+        n - (gram - 1) >= 2, F.sequence(F.lit(2), n - (gram - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        positions,
+        lambda i: F.pmod(
+            portable_hash60(F.substring(F.col("_t"), i, gram)), F.lit(mask)
+        )
+        == 0,
+    )
+    d = d.select(
+        "id", "_t", F.concat(F.array(F.lit(1)), cuts).alias("_starts")
+    )
+    d = d.select(
+        "id",
+        "_t",
+        "_starts",
+        F.explode(F.sequence(F.lit(0), F.size("_starts") - 1)).alias("chunk_idx"),
+    )
+    start = F.get("_starts", F.col("chunk_idx"))
+    nxt = F.coalesce(
+        F.get("_starts", F.col("chunk_idx") + 1), F.length("_t") + 1
+    )
+    chunk = F.substring(F.col("_t"), start, nxt - start)
+    return d.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        (nxt - start).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

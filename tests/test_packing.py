@@ -148,3 +148,34 @@ def test_global_packing_deterministic_across_partitionings(spark):
     a = pack_sequences_global(df.repartition(3), "n_tok", ["doc_id"], 128, n_groups=4)
     b = pack_sequences_global(df.repartition(13), "n_tok", ["doc_id"], 128, n_groups=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cdc_chunks_stable_under_insertion(spark):
+    """The CDC selling point: an insertion at the front changes only
+    the chunks near it — the tail chunk hashes are shared. Fixed-size
+    chunking would shift every boundary."""
+    from batch_import_spark.operators.packing import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while "
+        "pack my box with five dozen liquor jugs and then "
+        "sphinx of black quartz judge my vow again and again and again"
+    )
+    edited = "INSERTED PREFIX " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id: long, text: string"
+    )
+    out = cdc_chunks(df, gram=8, mask=16)
+    a = [r.chunk_md5 for r in out.where("doc_id = 0").orderBy("chunk_idx").collect()]
+    b = [r.chunk_md5 for r in out.where("doc_id = 1").orderBy("chunk_idx").collect()]
+    shared = set(a) & set(b)
+    assert len(a) > 2 and len(b) > 2
+    # the tail re-synchronizes: most of the original chunks survive
+    assert len(shared) >= len(a) - 2
+    # chunks reassemble exactly: total length == normalized doc length
+    import pyspark.sql.functions as F
+
+    total = {r.doc_id: r.s for r in out.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("s")).collect()}
+    assert total[0] == len(" ".join(base.lower().split()))
+    assert total[1] == len(" ".join(edited.lower().split()))
