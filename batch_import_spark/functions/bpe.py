@@ -246,3 +246,33 @@ def bpe_encode_batches(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def merges_to_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenizer artifact: the learned merge table as a DataFrame
+    (persist with .write.parquet — the artifact a training pipeline
+    ships alongside its data)."""
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank: long, lhs: string, rhs: string, pair_count: long",
+    )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str, int]]:
+    """Load a merge table back into apply order. Rank order IS the
+    semantics (merges apply sequentially), so the sort is load-bearing.
+    Driver-side collect is bounded by n_merges (artifact-sized)."""
+    return [
+        (r["lhs"], r["rhs"], int(r["pair_count"]))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def decode_segments(seg: Column | str) -> Column:
+    """Invert the segmentation rendering: drop the '|' subword
+    separators, keep word spaces. BPE merges only ever concatenate
+    characters, so decode(segment(encode(text))) == normalized text
+    exactly — the lossless-tokenization invariant (pinned by pytest).
+    """
+    c = F.col(seg) if isinstance(seg, str) else seg
+    return F.replace(c, F.lit("|"), F.lit(""))

@@ -155,3 +155,31 @@ def test_train_is_vocab_sized_not_corpus_sized(spark):
     m1 = [(l, r) for l, r, _ in bpe_train(df1, "text", 4, 2)]
     m10 = [(l, r) for l, r, _ in bpe_train(df10, "text", 4, 2)]
     assert m1 == m10
+
+
+def test_merge_table_round_trip_and_lossless_decode(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from batch_import_spark.functions.bpe import (
+        bpe_train,
+        decode_segments,
+        encode_text,
+        merges_from_df,
+        merges_to_df,
+        segment_expr,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    merges = bpe_train(docs, "text", n_merges=6)
+    # artifact round-trip through parquet preserves apply order
+    path = str(tmp_path / "merges.parquet")
+    merges_to_df(spark, merges).write.parquet(path)
+    assert merges_from_df(spark.read.parquet(path)) == merges
+
+    # lossless decode: strip separators == normalized input
+    rules = [(l, r) for l, r, _ in merges]
+    out = docs.select(
+        decode_segments(segment_expr(encode_text("text", rules))).alias("dec"),
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm"),
+    )
+    assert out.where("dec <> norm").count() == 0
