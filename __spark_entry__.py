@@ -1083,6 +1083,53 @@ WHERE a.doc_id < b.doc_id AND a.is_test <> b.is_test
 """
 
 
+def _mad_outliers(spark, sf):
+    """Robust per-event-type outlier screen (operators/robust.py):
+    exact integer lower-median + MAD over micro-unit values and the
+    |x - med| > 3·MAD count. Order statistics only — no
+    interpolation, no floats past the one floor transform."""
+    from batch_import_spark.operators.robust import mad_outlier_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return mad_outlier_stats(ev, ["event_type"], "value", k=3)
+
+
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, v AS med_micro FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+  ) WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT v.event_type, v.v, m.med_micro, ABS(v.v - m.med_micro) AS dv
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, dv AS mad_micro FROM (
+    SELECT event_type, dv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(d.med_micro) AS BIGINT) AS med_micro,
+       CAST(MIN(a.mad_micro) AS BIGINT) AS mad_micro,
+       CAST(SUM(CASE WHEN d.dv > 3 * a.mad_micro THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def _cdc_chunks(spark, sf):
     """Content-defined chunking (operators/packing.py cdc_chunks):
     Rabin-style cuts where the 8-gram hash % 32 == 0 — boundaries
@@ -4436,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_sketch": _winnowing_sketch,
         "rolling_fingerprint": _rolling_fingerprint,
         "cdc_chunks": _cdc_chunks,
+        "mad_outliers": _mad_outliers,
         # flagship KG (oracle-checkable via planted sentences)
         "kg_extract_canonicalize": _kg_extract_canonicalize,
         "kg_pipeline_full": _kg_pipeline_full,
@@ -4554,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_sketch": _WINNOWING_SQL,
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cdc_chunks": _CDC_SQL,
+        "mad_outliers": _MAD_SQL,
         "kg_extract_canonicalize": _KG_SQL,
         "kg_pipeline_full": _KG_FULL_SQL,
         "kg_pagerank": _KG_PAGERANK_SQL,

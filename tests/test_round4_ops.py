@@ -104,3 +104,17 @@ def test_negative_samples_protocol(spark):
     # deterministic: second run identical
     again = {(r.subj, r.pred, r.neg_obj, r.k) for r in entry._kg_negative_samples(spark, sf).collect()}
     assert again == {(r.subj, r.pred, r.neg_obj, r.k) for r in rows}
+
+
+def test_mad_outliers_hand_case(spark):
+    from batch_import_spark.operators.robust import mad_outlier_stats
+
+    # group g: values 1..9 and one wild 100 -> n=10, lower med = 5,
+    # devs |v-5| = 4,3,2,1,0,1,2,3,4,95 sorted 0,1,1,2,2,3,3,4,4,95
+    # -> lower MAD (5th) = 2; outliers: dev > 6 -> only 95
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    df = spark.createDataFrame(rows, "event_type: string, value: double")
+    r = mad_outlier_stats(df, ["event_type"], "value").collect()[0]
+    assert (r.n, r.med_micro, r.mad_micro, r.n_outliers) == (
+        10, 5_000_000, 2_000_000, 1
+    )
