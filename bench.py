@@ -128,6 +128,9 @@ def main() -> int:
         "kg_link_prediction",
         "winnowing_sketch",
         "context_token_budget",
+        "cdc_chunks",
+        "rolling_fingerprint",
+        "mad_outliers",
     ]
     for name in bench_queries:
         t0 = time.time()
