@@ -118,3 +118,35 @@ def test_mad_outliers_hand_case(spark):
     assert (r.n, r.med_micro, r.mad_micro, r.n_outliers) == (
         10, 5_000_000, 2_000_000, 1
     )
+
+
+def test_round4_query_plan_shapes(spark):
+    """Plan regression guards for the round-4 entries: no nested-loop
+    or cartesian joins anywhere; the BPE apply path stays a
+    zero-Exchange narrow map (the whole point of the replace-chain
+    encoding)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan_of(name):
+        return qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    for name in (
+        "lm_bigram_score",
+        "bloom_membership",
+        "cms_heavy_hitters",
+        "split_leakage_audit",
+        "context_token_budget",
+        "winnowing_sketch",
+        "cdc_chunks",
+        "mad_outliers",
+        "rolling_fingerprint",
+    ):
+        p = plan_of(name)
+        assert "NestedLoop" not in p and "Cartesian" not in p, name
+
+    # zero-shuffle invariants: tokenize + both fingerprint/chunk maps
+    for name in ("bpe_tokenize", "rolling_fingerprint", "cdc_chunks"):
+        assert "Exchange" not in plan_of(name), name
