@@ -828,10 +828,11 @@ def _bpe_train(spark, sf):
     """Learn BPE merges on the document corpus (distributed pair-count
     argmax per rank; functions/bpe.py). Output = the merge table
     itself — rank order, pair, and the weighted count that won."""
+    from batch_import_spark.functions.bpe import merges_to_df
+
     merges = _bpe_merges_for(spark, sf)
-    return spark.createDataFrame(
-        [(i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)],
-        "rank: long, lhs: string, rhs: string, merged: string, pair_count: long",
+    return merges_to_df(spark, merges).select(
+        "rank", "lhs", "rhs", F.concat("lhs", "rhs").alias("merged"), "pair_count"
     )
 
 
@@ -839,12 +840,13 @@ def _bpe_tokenize(spark, sf):
     """Apply the learned merges to every document: zero-shuffle chain
     of literal replace() calls on the delimited-symbol encoding (pure
     codegen). Output: per-doc BPE token count + portable 60-bit hash
-    of the full segmentation ('|' between subwords)."""
+    of the full segmentation (chr(30) between subwords)."""
     from batch_import_spark.functions.bpe import (
         encode_text,
         segment_expr,
         token_count_expr,
     )
+    from batch_import_spark.operators.sketches import portable_hash60
 
     merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
     d = spark.read.parquet(f"{sf}/documents.parquet")
@@ -852,9 +854,7 @@ def _bpe_tokenize(spark, sf):
     return d.select(
         "doc_id",
         token_count_expr(enc).alias("n_bpe_tokens"),
-        F.conv(F.substring(F.md5(segment_expr(enc)), 1, 15), 16, 10)
-        .cast("long")
-        .alias("seg_hash"),
+        portable_hash60(segment_expr(enc)).alias("seg_hash"),
     )
 
 
@@ -868,7 +868,7 @@ def _bpe_vocab(spark, sf):
     merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
     d = spark.read.parquet(f"{sf}/documents.parquet")
     seg = segment_expr(encode_text("text", merges))
-    sym = F.explode(F.split(F.replace(seg, F.lit(" "), F.lit("|")), r"\|"))
+    sym = F.explode(F.split(F.replace(seg, F.lit(" "), F.lit("\x1e")), "\x1e"))
     return (
         d.select(sym.alias("symbol"))
         .filter(F.col("symbol") != "")
@@ -1076,9 +1076,11 @@ WITH f AS (
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10 = 0
            AS is_test
   FROM documents
-)
+),
+-- replicate the operator's hot-group cap (max_group_size=1000)
+ok AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 1000)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
-FROM f a JOIN f b ON a.fp = b.fp
+FROM f a JOIN f b ON a.fp = b.fp JOIN ok ON ok.fp = a.fp
 WHERE a.doc_id < b.doc_id AND a.is_test <> b.is_test
 """
 
@@ -1245,10 +1247,13 @@ sk AS (
          CAST(bit_xor(h) AS BIGINT) AS sketch_xor
   FROM sel GROUP BY doc_id
 )
-SELECT c.doc_id, c.n_grams,
+SELECT d.doc_id,
+       COALESCE(c.n_grams, 0) AS n_grams,
        COALESCE(s.n_selected, 0) AS n_selected,
        COALESCE(s.sketch_xor, 0) AS sketch_xor
-FROM cnts c LEFT JOIN sk s USING (doc_id)
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN cnts c USING (doc_id)
+LEFT JOIN sk s USING (doc_id)
 """
 
 
@@ -1281,7 +1286,7 @@ p AS (
          COALESCE(SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND 1 PRECEDING), 0) AS sprev
-  FROM t
+  FROM t WHERE n_tok > 0
 )
 SELECT conv_id, turn_idx, n_tok,
        CAST(COUNT(*) OVER fr - 1 AS BIGINT) AS n_ctx_turns,
@@ -1373,7 +1378,7 @@ docw AS (
 ),
 segw AS (
   SELECT d.doc_id, d.pos,
-         replace(replace(f.s, chr(31) || chr(31), '|'), chr(31), '') AS w_seg,
+         replace(replace(f.s, chr(31) || chr(31), chr(30)), chr(31), '') AS w_seg,
          CAST((length(f.s) - length(replace(f.s, chr(31), ''))) / 2 AS BIGINT)
            AS w_ntok
   FROM docw d JOIN fin f ON d.word = f.word
@@ -1400,8 +1405,8 @@ docw AS (
 )
 SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM (
-  SELECT unnest(string_split(replace(replace(f.s, chr(31) || chr(31), '|'),
-                                     chr(31), ''), '|')) AS symbol
+  SELECT unnest(string_split(replace(replace(f.s, chr(31) || chr(31), chr(30)),
+                                     chr(31), ''), chr(30))) AS symbol
   FROM docw d JOIN fin f ON d.word = f.word
   WHERE d.word <> ''
 )

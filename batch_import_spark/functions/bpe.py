@@ -60,6 +60,13 @@ from pyspark.sql import functions as F
 US = "\x1f"
 _US2 = US + US
 
+#: rendering separator between subwords in a segmentation string —
+#: 0x1e "record separator", excluded from target corpora under the
+#: same contract as US. (An earlier draft used '|', which collides
+#: with literal pipes in real text — markdown tables — and broke the
+#: lossless-decode invariant.)
+SEP = "\x1e"
+
 
 def wrap_chars(col: Column | str) -> Column:
     """Wrap every non-space char in US delimiters (initial symbols).
@@ -102,10 +109,12 @@ def token_count_expr(encoded: Column) -> Column:
 
 
 def segment_expr(encoded: Column) -> Column:
-    """Human/hash-friendly rendering: '|' between symbols inside a
-    word, original single spaces between words."""
+    """Hash-friendly rendering: SEP (chr 30) between symbols inside a
+    word, original single spaces between words. SEP cannot occur in
+    the text itself (corpus contract), so the rendering is injective
+    and decode_segments inverts it exactly."""
     return F.replace(
-        F.replace(encoded, F.lit(_US2), F.lit("|")), F.lit(US), F.lit("")
+        F.replace(encoded, F.lit(_US2), F.lit(SEP)), F.lit(US), F.lit("")
     )
 
 
@@ -223,9 +232,11 @@ def bpe_encode_batches(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
 
-        def encode(text: str) -> tuple[str, int]:
+        def encode(text: str | None) -> tuple[str | None, int | None]:
             if text is None:
-                return "", 0
+                # match the expression path exactly: NULL text
+                # propagates to NULL seg / NULL count
+                return None, None
             words = text.lower().strip().split()
             segs: list[str] = []
             n = 0
@@ -234,15 +245,16 @@ def bpe_encode_batches(
                 if syms is None:
                     syms = _encode_word(w, rules)
                     cache[w] = syms
-                segs.append("|".join(syms))
+                segs.append(SEP.join(syms))
                 n += len(syms)
             return " ".join(segs), n
 
         for pdf in batches:
-            enc = pdf[text_col].map(encode)
+            enc = [encode(t) for t in pdf[text_col]]
             pdf = pdf.copy()
-            pdf[seg_col] = enc.map(lambda t: t[0])
-            pdf[count_col] = enc.map(lambda t: t[1]).astype("int64")
+            pdf[seg_col] = [t[0] for t in enc]
+            # nullable Int64 keeps NULL counts NULL through Arrow
+            pdf[count_col] = pd.array([t[1] for t in enc], dtype="Int64")
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
@@ -269,10 +281,11 @@ def merges_from_df(df: DataFrame) -> list[tuple[str, str, int]]:
 
 
 def decode_segments(seg: Column | str) -> Column:
-    """Invert the segmentation rendering: drop the '|' subword
+    """Invert the segmentation rendering: drop the SEP subword
     separators, keep word spaces. BPE merges only ever concatenate
-    characters, so decode(segment(encode(text))) == normalized text
-    exactly — the lossless-tokenization invariant (pinned by pytest).
-    """
+    characters and SEP never occurs in text, so
+    decode(segment(encode(text))) == normalized text exactly — the
+    lossless-tokenization invariant (pinned by pytest, including for
+    text containing literal '|')."""
     c = F.col(seg) if isinstance(seg, str) else seg
-    return F.replace(c, F.lit("|"), F.lit(""))
+    return F.replace(c, F.lit(SEP), F.lit(""))

@@ -165,8 +165,9 @@ def context_within_budget(
     turn j fits iff sprev_j >= sprev_i - budget, and since sprev is
     monotone the fitting set is exactly the RANGE frame
     [sprev_i - budget, sprev_i]. Bounded state per conversation, no
-    self-join, no per-row Python. Requires non-empty turns (sprev
-    strictly increasing — blank turns would tie the RANGE ordering).
+    self-join, no per-row Python. Blank (zero-token) turns are
+    EXCLUDED from the output: they contribute no tokens, and their
+    tied sprev would otherwise pull LATER turns into the frame.
     """
     tok = F.size(
         F.filter(
@@ -174,6 +175,7 @@ def context_within_budget(
             lambda t: t != F.lit(""),
         )
     ).cast("long")
+    df = df.where(tok > 0)
     w_prefix = (
         Window.partitionBy(conv_col)
         .orderBy(order_col)

@@ -494,14 +494,11 @@ def winnowing_sketch(
     from batch_import_spark.operators.sketches import portable_hash60
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_pos = F.length(norm) - k + 1
-    grams = F.when(
-        n_pos >= 1,
-        F.expr(
-            f"transform(sequence(1, length(regexp_replace(lower(trim({text_col})), "
-            f"'\\\\s+', ' ')) - {k - 1}), i -> i)"
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    n_pos = F.length(norm) - (k - 1)
+    # guarded sequence: sequence(1, 0) infers a NEGATIVE step
+    grams = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
     g = df.select(
         F.col(id_col).alias("id"),
         norm.alias("_norm"),
@@ -520,14 +517,21 @@ def winnowing_sketch(
         F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(fr).alias("w"),
     ).where(F.col("pos") >= window)
     sel = winner.select("id", F.col("w.h").alias("h")).distinct()
+    # anchor on the INPUT ids, not the gram rows — a doc shorter than
+    # k has zero grams but must still get an (id, 0, 0, 0) row
+    base = df.select(F.col(id_col).alias("id")).distinct()
     counts = g.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     sk = sel.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_selected"),
         F.expr("bit_xor(h)").cast("long").alias("sketch_xor"),
     )
-    return counts.join(sk, "id", "left").select(
-        F.col("id").alias(id_col),
-        "n_grams",
-        F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
-        F.coalesce("sketch_xor", F.lit(0)).cast("long").alias("sketch_xor"),
+    return (
+        base.join(counts, "id", "left")
+        .join(sk, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce("sketch_xor", F.lit(0)).cast("long").alias("sketch_xor"),
+        )
     )

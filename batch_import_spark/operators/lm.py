@@ -107,10 +107,13 @@ def score_documents(
         .select(
             id_col,
             "w1",
+            # coalesce(c1, 0): with an EXTERNAL model an OOV context
+            # word has no unigram row — smoothed prob is PPM/(0+V),
+            # not NULL (NULL would deflate the average silently)
             F.expr(
                 f"CASE WHEN w1 IS NULL THEN NULL "
                 f"ELSE ((coalesce(c2, 0L) + 1L) * {PPM}L) "
-                f"div (c1 + {int(vocab_size)}L) END"
+                f"div (coalesce(c1, 0L) + {int(vocab_size)}L) END"
             ).alias("p_ppm"),
         )
     )

@@ -268,15 +268,12 @@ def quantile_sketch_query(
 
 
 def _bloom_pos(key: Column, seed: int, m_bits: int) -> Column:
-    """Portable bloom bit position: seed-prefixed md5-60bit pmod m."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(m_bits))
+    """Portable bloom/CMS cell position: seed-prefixed portable
+    hash pmod m (one definition — the DuckDB twins must track it)."""
+    return F.pmod(
+        portable_hash60(F.concat(F.lit(f"{seed}:"), key.cast("string"))),
+        F.lit(m_bits),
+    )
 
 
 def bloom_build(

@@ -46,6 +46,8 @@ def run_incremental_kg(
         run_kg_pipeline,
     )
 
+    import shutil
+
     if link_dict is None:
         link_dict = prepare_link_dict(alias_dict)
     state: dict = {"edges": None, "batches": 0}
@@ -57,15 +59,27 @@ def run_incremental_kg(
         prev = state["edges"]
         merged = res.edges if prev is None else merge_kg_edges(prev, res.edges)
         # eager checkpoint = the per-batch state commit; truncates
-        # lineage so batch N+1 never re-runs batch N's extraction
+        # lineage so batch N+1 never re-runs batch N's extraction.
+        # The superseded checkpoint's blocks are released immediately
+        # (same rotation discipline as canonicalize/bpe_train) —
+        # without it a long stream grows storage memory linearly.
         state["edges"] = merged.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
         state["batches"] += 1
 
-    q = (
-        transcript_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kg_incr_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt_dir = tempfile.mkdtemp(prefix="kg_incr_ckpt_")
+    try:
+        q = (
+            transcript_stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the offset log is only needed while the drain runs; the
+        # durable state is the returned edge table (production: the
+        # Iceberg table this fold merges into)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return state["edges"], state["batches"]

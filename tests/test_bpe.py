@@ -87,9 +87,11 @@ def test_train_early_stop_when_no_pair_reaches_min_count(spark):
 def test_greedy_fold_semantics(spark):
     # "aaaa" -> [aa, aa]; "aaa" -> [aa, a] (left-to-right non-overlap)
     df = spark.createDataFrame([("aaaa",), ("aaa",)], "text: string")
+    from batch_import_spark.functions.bpe import SEP
+
     enc = apply_merges(wrap_chars(F.col("text")), [("a", "a")])
     rows = df.select(segment_expr(enc).alias("seg")).collect()
-    assert [r.seg for r in rows] == ["aa|aa", "aa|a"]
+    assert [r.seg for r in rows] == [f"aa{SEP}aa", f"aa{SEP}a"]
 
 
 def test_prefix_ambiguity_is_safe(spark):
@@ -99,10 +101,12 @@ def test_prefix_ambiguity_is_safe(spark):
     enc = wrap_chars(F.col("text"))
     enc = merge_expr(enc, "a", "b")  # -> [a, ab]
     enc = merge_expr(enc, "a", "a")  # must be a no-op now
+    from batch_import_spark.functions.bpe import SEP
+
     row = df.select(
         segment_expr(enc).alias("seg"), token_count_expr(enc).alias("n")
     ).collect()[0]
-    assert row.seg == "a|ab" and row.n == 2
+    assert row.seg == f"a{SEP}ab" and row.n == 2
 
 
 def test_merges_never_cross_word_boundary(spark):
@@ -119,6 +123,7 @@ def test_expr_path_equals_kernel_path(spark):
         "sphinx of black quartz judge my vow",
         "aaa aab abab bbbb the the the",
         "",
+        None,
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "id: long, text: string")
     merges_full = bpe_train(df, "text", n_merges=10, min_pair_count=2)
@@ -137,6 +142,7 @@ def test_expr_path_equals_kernel_path(spark):
     }
     assert expr_rows == kern_rows
     assert expr_rows[0][1] > 0 and expr_rows[4] == ("", 0)
+    assert expr_rows[5] == (None, None)  # NULL text: both paths NULL
 
 
 def test_encode_word_python_twin():
@@ -176,9 +182,13 @@ def test_merge_table_round_trip_and_lossless_decode(spark, tmp_path):
     merges_to_df(spark, merges).write.parquet(path)
     assert merges_from_df(spark.read.parquet(path)) == merges
 
-    # lossless decode: strip separators == normalized input
+    # lossless decode: strip separators == normalized input — also for
+    # text containing literal '|' (the separator-collision regression)
     rules = [(l, r) for l, r, _ in merges]
-    out = docs.select(
+    piped = spark.createDataFrame(
+        [(10_000, "a|b  with | pipes || everywhere",)], "doc_id: long, text: string"
+    )
+    out = docs.select("text").union(piped.select("text")).select(
         decode_segments(segment_expr(encode_text("text", rules))).alias("dec"),
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm"),
     )
