@@ -855,6 +855,11 @@ def _bpe_tokenize(spark, sf):
         "doc_id",
         token_count_expr(enc).alias("n_bpe_tokens"),
         portable_hash60(segment_expr(enc)).alias("seg_hash"),
+    ).where(
+        # the oracle's word-level join drops docs with zero words
+        # (empty/whitespace-only/NULL text); match that row set here —
+        # a doc WITH words always has >= 1 subword token (ADVICE r04)
+        F.col("n_bpe_tokens") > 0
     )
 
 
@@ -2758,48 +2763,39 @@ WHERE n_shared * 1000000 // n_left >= 500000
 
 
 def _sft_pairs(spark, sf):
-    """SFT pair mining over transcripts: adjacent user→assistant turn
-    pairs (the instruction-tuning extraction every dialogue corpus
-    feeds through) — one LEAD window per conversation, emitting the
-    prompt/response texts plus integer length features."""
-    t = _conv_table(spark, sf)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    paired = t.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        F.lead("role").over(w).alias("next_role"),
-        F.lead("text").over(w).alias("next_text"),
-        F.lead("turn_idx").over(w).alias("next_idx"),
-    )
-    return paired.where(
-        (F.col("role") == "user") & (F.col("next_role") == "assistant")
-    ).select(
-        "conv_id",
-        F.col("turn_idx").alias("prompt_idx"),
-        F.col("next_idx").alias("response_idx"),
-        F.col("text").alias("prompt"),
-        F.col("next_text").alias("response"),
-        F.length("text").alias("prompt_chars"),
-        F.length("next_text").alias("response_chars"),
-    )
+    """SFT pair mining over transcripts: each user turn paired with
+    the NEXT assistant turn in its conversation, skipping intervening
+    tool turns (the realistic instruction-tuning extraction — an
+    agent's tool calls sit between the question and the answer), and
+    only when no other user turn intervenes (the assistant answers
+    THIS prompt). Round-4 VERDICT: the strict-adjacency version was
+    vacuously green because the fixture's roles cycle
+    user→tool→assistant within every conversation; this pairing
+    crosses the tool turn and is exercised on real rows
+    (operators/conversations.py mine_sft_pairs)."""
+    from batch_import_spark.operators.conversations import mine_sft_pairs
+
+    return mine_sft_pairs(_conv_table(spark, sf))
 
 
 _SFT_PAIRS_SQL = f"""
-WITH t AS (
+WITH t AS (SELECT conv_id, turn_idx, role, text FROM ({_CONV_SQL})),
+aug AS (
   SELECT conv_id, turn_idx, role, text,
-         LEAD(role) OVER w AS next_role,
-         LEAD(text) OVER w AS next_text,
-         LEAD(turn_idx) OVER w AS next_idx
-  FROM ({_CONV_SQL})
-  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+         MIN(CASE WHEN role = 'assistant' THEN turn_idx END) OVER w AS response_idx,
+         MIN(CASE WHEN role = 'user' THEN turn_idx END) OVER w AS next_user_idx
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 )
-SELECT conv_id, turn_idx AS prompt_idx, next_idx AS response_idx,
-       text AS prompt, next_text AS response,
-       CAST(length(text) AS INT) AS prompt_chars,
-       CAST(length(next_text) AS INT) AS response_chars
-FROM t WHERE role = 'user' AND next_role = 'assistant'
+SELECT u.conv_id, u.turn_idx AS prompt_idx, u.response_idx,
+       u.text AS prompt, a.text AS response,
+       CAST(length(u.text) AS INT) AS prompt_chars,
+       CAST(length(a.text) AS INT) AS response_chars
+FROM aug u
+JOIN t a ON a.conv_id = u.conv_id AND a.turn_idx = u.response_idx
+WHERE u.role = 'user' AND u.response_idx IS NOT NULL
+  AND (u.next_user_idx IS NULL OR u.response_idx < u.next_user_idx)
 """
 
 

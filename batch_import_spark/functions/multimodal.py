@@ -23,6 +23,7 @@ of decoded frames fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -101,13 +102,18 @@ def decode_media(payload: bytes, kind: str, strict: bool = False) -> np.ndarray:
         try:
             px = jpeg_decode(payload)
             return px.reshape(-1, px.shape[2]).astype(np.float32)
-        except ValueError:
-            pass  # progressive/arithmetic/... → stub path
+        except (ValueError, IndexError, KeyError, struct.error):
+            # ValueError = progressive/arithmetic/...; the rest =
+            # truncated/corrupt payloads with a valid magic, where the
+            # byte indexing and Huffman table lookups fail mid-stream —
+            # both must reach the documented stub path, not crash the
+            # Arrow task (ADVICE r04)
+            pass
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         try:
             px = png_decode(payload)
             return px.reshape(-1, px.shape[2]).astype(np.float32)
-        except ValueError:
+        except (ValueError, IndexError, KeyError, struct.error):
             # in-format but unsupported payload (interlaced / paletted /
             # 16-bit PNG) falls through to the strict-check / fake path,
             # same as formats with no native codec

@@ -46,6 +46,22 @@ def _words(text_col: Column | str) -> Column:
     )
 
 
+def _adjacent_pairs(toks: Column) -> Column:
+    """(w1, w2) structs for every adjacent token pair.
+
+    The slice length is clamped to >= 0: an empty/whitespace-only doc
+    has size(toks) = 0 and an unclamped `size - 1` slice length is -1,
+    which ANSI Spark rejects with INVALID_PARAMETER_VALUE.LENGTH and
+    kills the whole job — one blank doc in a corpus must instead yield
+    the documented n_trans = 0 row."""
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def bigram_model(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
     """Train: (unigram_counts, bigram_counts, vocab_size).
 
@@ -55,11 +71,7 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, Da
     words = docs.select(F.explode(_words(text_col)).alias("w"))
     uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
     toks = _words(text_col)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    pairs = _adjacent_pairs(toks)
     bi = (
         docs.select(F.explode(pairs).alias("p"))
         .groupBy("p.w1", "p.w2")
@@ -89,11 +101,7 @@ def score_documents(
         uni, bi, vocab_size = bigram_model(docs, text_col)
 
     toks = _words(text_col)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
+    pairs = _adjacent_pairs(toks)
     trans = docs.select(F.col(id_col), F.explode_outer(pairs).alias("p")).select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )

@@ -91,6 +91,24 @@ def test_decode_media_falls_back_on_progressive():
     assert arr.ndim == 2 and arr.shape[1] == 16
 
 
+def test_decode_media_falls_back_on_truncated_and_corrupt():
+    """ADVICE r04: a truncated or bit-flipped payload with a valid
+    JPEG magic raises IndexError/struct.error/KeyError from the byte
+    indexing and Huffman table lookups — non-strict decode_media must
+    take the deterministic-fake path, not crash the Arrow task."""
+    from batch_import_spark.functions.multimodal import decode_media
+
+    good = jpeg_encode(_block_image(2, 3, 0))
+    for payload in (
+        good[: len(good) // 3],          # truncated mid-stream
+        good[:4],                        # magic + almost nothing
+        b"\xff\xd8\xff\xe0\x00\x02",     # empty APP0, no SOF/SOS
+        good[:20] + bytes(30),           # zeroed tables → bad lookups
+    ):
+        arr = decode_media(payload, "image")
+        assert arr.ndim == 2 and arr.shape[1] == 16
+
+
 def test_spark_jpeg_stats_match_formula(spark):
     """decode_image_stats (Arrow-batched) over the JPEG fixtures equals
     the closed-form block-formula sums — the driver oracle's claim."""

@@ -5,6 +5,7 @@ import datetime
 from batch_import_spark.operators.conversations import (
     assemble_context,
     conversation_stats,
+    mine_sft_pairs,
     tool_transitions,
 )
 
@@ -71,3 +72,47 @@ def test_conversation_stats(spark):
     assert c1["span_seconds"] == 90
     c2 = got["c2"]
     assert (c2["n_turns"], c2["n_tokens"], c2["span_seconds"]) == (1, 0, 0)
+
+
+def test_mine_sft_pairs_crosses_tool_turns(spark):
+    """Round-4 VERDICT fix: the pairing must cross tool turns, must
+    not pair across an intervening user turn, and must drop user
+    turns with no assistant answer."""
+    df = spark.createDataFrame(
+        [
+            # c1: user -> tool -> tool -> assistant (pairs across 2 tools)
+            _turn("c1", 0, "user", "q1"),
+            _turn("c1", 1, "tool", "r1", "search"),
+            _turn("c1", 2, "tool", "r2", "browse"),
+            _turn("c1", 3, "assistant", "a1"),
+            # c1: user -> assistant (plain adjacency still pairs)
+            _turn("c1", 4, "user", "q2"),
+            _turn("c1", 5, "assistant", "a2"),
+            # c2: user -> user -> assistant (only the SECOND user pairs;
+            # the first has an intervening user turn)
+            _turn("c2", 0, "user", "stale"),
+            _turn("c2", 1, "user", "q3"),
+            _turn("c2", 2, "assistant", "a3"),
+            # c2: trailing user with no answer -> dropped
+            _turn("c2", 3, "user", "unanswered"),
+        ],
+        _SCHEMA,
+    )
+    got = {
+        (r.conv_id, r.prompt_idx): (r.response_idx, r.prompt, r.response)
+        for r in mine_sft_pairs(df).collect()
+    }
+    assert got == {
+        ("c1", 0): (3, "q1", "a1"),
+        ("c1", 4): (5, "q2", "a2"),
+        ("c2", 1): (2, "q3", "a3"),
+    }
+
+
+def test_sft_pairs_entry_non_vacuous(spark):
+    """The registry query itself must exercise real rows on the sf
+    fixtures (the round-4 vacuity defect)."""
+    import __spark_entry__ as entry
+
+    n = entry.queries()["sft_pairs"](spark, "/root/testdata/sf0.001").count()
+    assert n > 0

@@ -52,6 +52,26 @@ def test_probabilities_bounded(spark):
     assert bad == 0
 
 
+def test_blank_and_null_docs_do_not_abort(spark):
+    """ADVICE r04: an empty/whitespace-only doc has size(toks)=0, and
+    the unguarded `size-1` slice length (-1) aborted the whole job
+    under ANSI (INVALID_PARAMETER_VALUE.LENGTH). Blank/NULL docs must
+    instead score n_trans = 0 like the docstring says."""
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, ""), (2, "   "), (3, None)],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in score_documents(df).collect()}
+    assert len(out) == 4
+    assert out[0].n_trans == 1
+    for d in (1, 2, 3):
+        assert (out[d].n_trans, out[d].avg_prob_ppm, out[d].min_prob_ppm) == (
+            0,
+            None,
+            None,
+        )
+
+
 def test_external_model_oov_transitions(spark):
     """Scoring docs2 with a model trained on docs1: OOV context words
     get the floor probability PPM/(0+V), never NULL (the silent
