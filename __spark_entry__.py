@@ -770,6 +770,124 @@ FROM f
 """
 
 
+def _repetition_screen(spark, sf):
+    """Gopher repetition screens (operators/repetition.py): duplicate-
+    line fraction + char mass, top-2/3/4-gram char mass, duplicated-
+    5-gram char mass — all integer ppm.
+
+    The sf corpus is single-line, so the line metrics are exercised by
+    planting deterministic boilerplate on every 5th doc (text + two
+    copies of its own first-8-word line — the planted-duplicate
+    discipline the dedup queries use); the n-gram metrics run on real
+    repetition (~70%% of docs repeat a word bigram)."""
+    from batch_import_spark.operators.repetition import repetition_screen
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    boiler = F.array_join(F.slice(toks, 1, 8), " ")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n", F.col("text"), boiler, boiler),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_screen(planted)
+
+
+_REPETITION_SQL = r"""
+WITH tk0 AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t0
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(10) || b || chr(10) || b
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, array_to_string(t0[1:8], ' ') AS b
+        FROM tk0 WHERE text IS NOT NULL)
+),
+base AS (
+  SELECT doc_id, text, tkn,
+         CAST(length(array_to_string(tkn, ' ')) AS BIGINT) AS chars
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS tkn
+        FROM planted)
+  WHERE len(tkn) > 0
+),
+lines AS (
+  SELECT doc_id, ln
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM base)
+  WHERE trim(ln) <> ''
+),
+pl AS (SELECT doc_id, ln, CAST(COUNT(*) AS BIGINT) AS c FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS ndup,
+         CAST(SUM(c * length(ln)) AS BIGINT) AS lchars,
+         CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dchars
+  FROM pl GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, 2 AS n, array_to_string(tkn[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 1, 1)) AS i
+        FROM base WHERE len(tkn) >= 2)
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(tkn[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 2, 1)) AS i
+        FROM base WHERE len(tkn) >= 3)
+  UNION ALL
+  SELECT doc_id, 4 AS n, array_to_string(tkn[i:i+3], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 3, 1)) AS i
+        FROM base WHERE len(tkn) >= 4)
+),
+gc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+       FROM grams GROUP BY 1, 2, 3),
+best AS (SELECT doc_id, n, min({'negc': -c, 'g': g}) AS b
+         FROM gc GROUP BY 1, 2),
+bm AS (SELECT doc_id, n,
+              CAST((-b.negc) * length(b.g) AS BIGINT) AS mass FROM best),
+tm AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN mass END) AS m2,
+         MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+         MAX(CASE WHEN n = 4 THEN mass END) AS m4
+  FROM bm GROUP BY 1
+),
+g5 AS (
+  SELECT doc_id, array_to_string(tkn[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 4, 1)) AS i
+        FROM base WHERE len(tkn) >= 5)
+),
+d5 AS (
+  SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS dm
+  FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g5 GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY 1
+)
+SELECT b.doc_id, ls.n_lines,
+       CAST((ndup * 1000000) // n_lines AS BIGINT) AS dup_line_ppm,
+       CAST(CASE WHEN lchars > 0 THEN (dchars * 1000000) // lchars
+                 ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+       CAST(coalesce((m2 * 1000000) // chars, 0) AS BIGINT) AS top2_gram_ppm,
+       CAST(coalesce((m3 * 1000000) // chars, 0) AS BIGINT) AS top3_gram_ppm,
+       CAST(coalesce((m4 * 1000000) // chars, 0) AS BIGINT) AS top4_gram_ppm,
+       CAST(coalesce((dm * 1000000) // chars, 0) AS BIGINT) AS dup5_gram_ppm
+FROM base b
+JOIN ls USING (doc_id)
+LEFT JOIN tm USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+"""
+
+
 def _text_fingerprint(spark, sf):
     from batch_import_spark.functions.text import doc_fingerprint
 
@@ -4469,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "ann_cosine_topk": _ann_cosine_topk,
         "text_quality": _text_quality,
+        "repetition_screen": _repetition_screen,
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
         "bpe_train": _bpe_train,
@@ -4588,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "text_quality": _TEXTQ_SQL,
+        "repetition_screen": _REPETITION_SQL,
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
