@@ -888,6 +888,102 @@ LEFT JOIN d5 USING (doc_id)
 """
 
 
+def _pii_planted_text(did: Column, text: Column) -> Column:
+    """Deterministic PII planting (the sf corpus contains none): every
+    doc_id mod-7 class gets a different kind appended, class 4 gets
+    two — so each pattern and the multi-PII path are exercised."""
+    email = F.concat(
+        F.lit(" reach me at user"), did.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" call 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 192.168."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+    )
+    ssn = F.concat(
+        F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")
+    )
+    return (
+        F.when(did % 7 == 0, F.concat(text, email))
+        .when(did % 7 == 1, F.concat(text, phone))
+        .when(did % 7 == 2, F.concat(text, ip))
+        .when(did % 7 == 3, F.concat(text, ssn))
+        .when(did % 7 == 4, F.concat(text, email, phone))
+        .otherwise(text)
+    )
+
+
+def _pii_redact(spark, sf):
+    """PII detection + redaction (operators/pii.py): per-doc counts by
+    kind + byte-identical redacted text, over deterministically
+    planted emails/phones/IPs/SSNs. Pure narrow map (codegen regex
+    chain, zero shuffles); the oracle replays the literal same RE2-
+    safe patterns."""
+    from batch_import_spark.operators.pii import redact_pii
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    planted = d.select(
+        "doc_id",
+        _pii_planted_text(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+def _pii_sql() -> str:
+    from batch_import_spark.operators.pii import PII_PATTERNS
+
+    plant = """
+planted AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com'
+           WHEN 1 THEN text || ' call 415-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           WHEN 3 THEN text || ' ssn 123-45-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 4 THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com' || ' call 415-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE text END AS t0
+  FROM documents
+)"""
+    steps, prev = [], "t0"
+    for i, (kind, pattern, token) in enumerate(PII_PATTERNS):
+        cur = f"t{i + 1}"
+        src = "planted" if i == 0 else f"s{i - 1}"
+        steps.append(
+            f"s{i} AS (SELECT *,\n"
+            f"  CAST(coalesce(len(regexp_extract_all({prev}, '{pattern}')), 0)"
+            f" AS BIGINT) AS n_{kind},\n"
+            f"  regexp_replace({prev}, '{pattern}', '{token}', 'g') AS {cur}\n"
+            f"  FROM {src})"
+        )
+        prev = cur
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    names = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    return (
+        "WITH "
+        + plant
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT doc_id, {names}, {total} AS n_pii, {prev} AS redacted
+FROM s{len(PII_PATTERNS) - 1}
+"""
+    )
+
+
+_PII_REDACT_SQL = _pii_sql()
+
+
 def _text_fingerprint(spark, sf):
     from batch_import_spark.functions.text import doc_fingerprint
 
@@ -4588,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
+        "pii_redact": _pii_redact,
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
         "bpe_train": _bpe_train,
@@ -4708,6 +4805,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
+        "pii_redact": _PII_REDACT_SQL,
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
