@@ -1389,6 +1389,80 @@ FROM c, unnest(generate_series(0, len(starts) - 1)) AS u(i)
 """
 
 
+def _crossdoc_substring_removal(spark, sf):
+    """Cross-doc repeated-substring removal (operators/crossdoc.py):
+    CDC chunks shared by >= 2 distinct docs are cut from every doc
+    (Lee et al. exact-substring dedup at chunk grain). The fixture
+    corpus repeats ~300 chunk fingerprints across docs naturally, so
+    every output column is exercised on real rows."""
+    from batch_import_spark.operators.crossdoc import (
+        remove_repeated_substrings,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return remove_repeated_substrings(d)
+
+
+_CROSSDOC_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents
+),
+c AS (
+  SELECT doc_id, s,
+         list_prepend(1,
+           CASE WHEN length(s) - 7 >= 2 THEN
+             list_filter(generate_series(2, length(s) - 7),
+               i -> (('0x' || substr(md5(substr(s, i, 8)), 1, 15))::BIGINT)
+                    % 32 = 0)
+           ELSE [] END) AS starts
+  FROM t WHERE length(s) > 0
+),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         substr(s, starts[i + 1],
+                COALESCE(starts[i + 2], length(s) + 1) - starts[i + 1]) AS chunk,
+         CAST(COALESCE(starts[i + 2], length(s) + 1) - starts[i + 1] AS BIGINT)
+           AS chunk_len,
+         md5(substr(s, starts[i + 1],
+                    COALESCE(starts[i + 2], length(s) + 1) - starts[i + 1]))
+           AS chunk_md5,
+         strpos(substr(s, greatest(starts[i + 1] - 8, 1),
+                       (COALESCE(starts[i + 2], length(s) + 1)
+                        - starts[i + 1]) + 16), chr(31)) > 0 AS near_sentinel
+  FROM c, unnest(generate_series(0, len(starts) - 1)) AS u(i)
+),
+rep AS (
+  SELECT chunk_md5
+  FROM (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM ch
+        WHERE NOT near_sentinel GROUP BY 1)
+  WHERE nd >= 2
+),
+fl AS (
+  SELECT ch.*, (rep.chunk_md5 IS NOT NULL) AS is_rep
+  FROM ch LEFT JOIN rep ON ch.chunk_md5 = rep.chunk_md5
+),
+ag AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(chunk_len) AS BIGINT) AS chars,
+         CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(SUM(CASE WHEN is_rep THEN 0 ELSE chunk_len END) AS BIGINT)
+           AS kept_chars,
+         string_agg(CASE WHEN is_rep THEN chr(31) ELSE chunk END,
+                    '' ORDER BY chunk_idx) AS raw
+  FROM fl GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_removed,
+       CAST(((chars - kept_chars) * 1000000) // chars AS BIGINT)
+         AS removed_ppm,
+       regexp_replace(
+         regexp_replace(raw, chr(31) || '+', chr(31), 'g'),
+         '^' || chr(31) || '|' || chr(31) || '$', '', 'g') AS cleaned
+FROM ag
+"""
+
+
 def _rolling_fingerprint(spark, sf):
     """Rabin polynomial rolling-hash fingerprints (functions/text.py
     rolling_fingerprint): full-doc hash + 64-char-prefix hash, pure
@@ -4685,6 +4759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
         "pii_redact": _pii_redact,
+        "crossdoc_substring_removal": _crossdoc_substring_removal,
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
         "bpe_train": _bpe_train,
@@ -4806,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
         "pii_redact": _PII_REDACT_SQL,
+        "crossdoc_substring_removal": _CROSSDOC_SQL,
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
