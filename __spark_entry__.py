@@ -3896,6 +3896,115 @@ def _stream_sessions(spark, sf):
     )
 
 
+def _stream_interval_join(spark, sf):
+    """Watermarked stream-stream interval join (streaming/
+    interval_join.py): user-request events joined to the assistant
+    response landing within 1 hour, both sides replayed as file
+    streams (two files per side, maxFilesPerTrigger=1, so matches
+    must survive micro-batch boundaries through join state). The
+    replay watermark is generous so the bounded fixture drains
+    completely and the output equals the batch interval join — the
+    eviction path is pytest-pinned separately
+    (tests/test_interval_join.py)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_import_spark.streaming.interval_join import interval_join
+
+    pdf = (
+        _conv_table(spark, sf)
+        .select("conv_id", "turn_idx", "role", "ts")
+        .toPandas()
+    )  # bounded: one row per document at test scale
+
+    def _write(dirpath, fname, sub, idx_name, ts_name):
+        tab = pa.table(
+            {
+                "conv_id": pa.array(list(sub["conv_id"]), pa.string()),
+                idx_name: pa.array(
+                    [int(x) for x in sub["turn_idx"]], pa.int32()
+                ),
+                ts_name: pa.array(
+                    list(sub["ts"].astype("datetime64[us]").astype("int64")),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(tab, os.path.join(dirpath, fname))
+
+    src_u = tempfile.mkdtemp(prefix="ij_users_")
+    src_a = tempfile.mkdtemp(prefix="ij_assts_")
+    users = pdf[pdf.role == "user"]
+    assts = pdf[pdf.role == "assistant"]
+    # two files per side, split by conv_id hash parity (deterministic)
+    for src, sub, idx_name, ts_name in (
+        (src_u, users, "prompt_idx", "req_ts"),
+        (src_a, assts, "response_idx", "res_ts"),
+    ):
+        even = sub[sub["conv_id"].map(lambda c: len(c) % 2 == 0)]
+        odd = sub[sub["conv_id"].map(lambda c: len(c) % 2 == 1)]
+        _write(src, "b1.parquet", even, idx_name, ts_name)
+        _write(src, "b2.parquet", odd, idx_name, ts_name)
+        mt = os.path.getmtime(os.path.join(src, "b1.parquet"))
+        os.utime(os.path.join(src, "b2.parquet"), (mt + 10, mt + 10))
+
+    us = (
+        spark.readStream.schema(
+            "conv_id string, prompt_idx int, req_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_u)
+    )
+    asts = (
+        spark.readStream.schema(
+            "conv_id string, response_idx int, res_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_a)
+    )
+    joined = interval_join(
+        us,
+        asts,
+        key="conv_id",
+        left_ts="req_ts",
+        right_ts="res_ts",
+        max_lag="1 hour",
+        watermark="1 day",
+    ).select(
+        "conv_id",
+        "prompt_idx",
+        "response_idx",
+        (F.unix_timestamp("res_ts") - F.unix_timestamp("req_ts"))
+        .cast("long")
+        .alias("lag_sec"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_interval_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_interval_join_out")
+
+
+_STREAM_IJ_SQL = f"""
+WITH t AS ({_CONV_SQL}),
+u AS (SELECT conv_id, turn_idx AS prompt_idx, ts_sec AS ts_u
+      FROM t WHERE role = 'user'),
+a AS (SELECT conv_id, turn_idx AS response_idx, ts_sec AS ts_a
+      FROM t WHERE role = 'assistant')
+SELECT u.conv_id, prompt_idx, response_idx,
+       CAST(ts_a - ts_u AS BIGINT) AS lag_sec
+FROM u JOIN a ON u.conv_id = a.conv_id
+             AND ts_a > ts_u AND ts_a <= ts_u + 3600
+"""
+
+
 _STREAM_SESSIONS_SQL = f"""
 WITH m AS (
   SELECT source,
@@ -4791,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_windowed": _stream_kg_windowed,
         "stream_kg_incremental": _stream_kg_incremental,
         "stream_sessions": _stream_sessions,
+        "stream_interval_join": _stream_interval_join,
         "stream_dedup": _stream_dedup,
         "triangle_counts": _triangle_counts,
         "pagerank": _pagerank,
@@ -4912,6 +5022,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_kg_windowed": _STREAM_KG_SQL,
         "stream_kg_incremental": _KG_FULL_SQL,
         "stream_sessions": _STREAM_SESSIONS_SQL,
+        "stream_interval_join": _STREAM_IJ_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank": _PAGERANK_SQL,
