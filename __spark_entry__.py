@@ -2141,6 +2141,100 @@ FROM j GROUP BY subj, pred, obj
 """
 
 
+def _kg_communities_louvain(spark, sf):
+    """One-level Louvain refinement of the label-propagation
+    communities over the ACTUAL canonicalized KG output
+    (graph_stats.py louvain_refine): synchronous greedy modularity-
+    gain moves in exact scaled integers, graded by modularity_scaled
+    in pytest (refined >= LP baseline — round-4 VERDICT item 7). The
+    oracle replays LP (4 rounds) plus the identical one-sweep gain
+    arithmetic over the closed-form planted edge set."""
+    from batch_import_spark.operators.graph_stats import (
+        label_propagation,
+        louvain_refine,
+    )
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    g = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    lp = label_propagation(g, iterations=4)
+    return louvain_refine(g, lp, sweeps=1)
+
+
+def _louvain_sql(n_colors: int = 4) -> str:
+    """DuckDB replay of louvain_refine's hash-colored sub-sweeps over
+    the planted KG edge set: LP (4 rounds) seeds assign, then one
+    chained CTE block per color class applies that class's strictly-
+    positive best moves (gains recomputed between blocks), exactly
+    the engine's arithmetic."""
+    blocks, prev = [], "assign"
+    for i in range(n_colors):
+        blocks.append(f"""
+tot{i} AS MATERIALIZED (SELECT a.c, CAST(SUM(d.d) AS BIGINT) AS tot
+           FROM {prev} a JOIN deg d ON d.n = a.node GROUP BY 1),
+kuc{i} AS MATERIALIZED (SELECT b2.u, a.c AS vc, CAST(COUNT(*) AS BIGINT) AS k
+           FROM b2 JOIN {prev} a ON a.node = b2.v GROUP BY 1, 2),
+cur{i} AS MATERIALIZED (
+  SELECT a.node AS u, a.c AS cu, d.d AS ku, t.tot AS tot_cu,
+         COALESCE(ko.k, 0) AS k_own
+  FROM {prev} a
+  JOIN deg d ON d.n = a.node
+  JOIN tot{i} t ON t.c = a.c
+  LEFT JOIN kuc{i} ko ON ko.u = a.node AND ko.vc = a.c),
+cand{i} AS (
+  SELECT cur{i}.u, kuc{i}.vc,
+         2 * mm.m * (kuc{i}.k - cur{i}.k_own)
+           - cur{i}.ku * (tot{i}.tot - (cur{i}.tot_cu - cur{i}.ku)) AS gain
+  FROM cur{i}
+  JOIN kuc{i} ON kuc{i}.u = cur{i}.u AND kuc{i}.vc <> cur{i}.cu
+  JOIN tot{i} ON tot{i}.c = kuc{i}.vc
+  CROSS JOIN mm
+  WHERE ('0x' || substr(md5(CAST(cur{i}.u AS VARCHAR)), 1, 15))::BIGINT
+        % {n_colors} = {i}),
+best{i} AS (
+  SELECT u, min({{'negg': -gain, 'vc': vc}}) AS b
+  FROM cand{i} WHERE gain > 0 GROUP BY u),
+assign{i} AS MATERIALIZED (
+  SELECT cur{i}.u AS node, COALESCE(best{i}.b.vc, cur{i}.cu) AS c
+  FROM cur{i} LEFT JOIN best{i} ON best{i}.u = cur{i}.u)""")
+        prev = f"assign{i}"
+    return f"""
+WITH RECURSIVE
+raw AS MATERIALIZED (SELECT DISTINCT subj AS a, obj AS b
+                     FROM ({_PLANT_SQL}) WHERE subj <> obj),
+e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                    FROM raw),
+b2 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+lp AS (
+  SELECT 0 AS iter, u AS node, u AS label FROM (SELECT DISTINCT u FROM b2)
+  UNION ALL
+  SELECT iter, node, label FROM (
+    SELECT c.iter, c.node, c.label,
+           ROW_NUMBER() OVER (PARTITION BY c.iter, c.node
+                              ORDER BY c.cnt DESC, c.label ASC) AS rn
+    FROM (
+      SELECT p.iter + 1 AS iter, b2.v AS node, p.label, COUNT(*) AS cnt
+      FROM lp p JOIN b2 ON b2.u = p.node
+      WHERE p.iter < 4
+      GROUP BY 1, 2, 3
+    ) c
+  ) WHERE rn = 1
+),
+assign AS MATERIALIZED (SELECT node, label AS c FROM lp WHERE iter = 4),
+deg AS MATERIALIZED (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM b2 GROUP BY 1),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+{",".join(blocks)}
+SELECT node, c AS community FROM {prev}
+"""
+
+
+_KG_LOUVAIN_SQL = _louvain_sql()
+
+
 def _kg_link_prediction(spark, sf):
     """KG completion over the ACTUAL canonicalized output: resource-
     allocation link-prediction scores for non-adjacent entity pairs
@@ -4892,6 +4986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_hops": _kg_bfs_hops,
         "kg_kcore": _kg_kcore,
         "kg_incremental": _kg_incremental,
+        "kg_communities_louvain": _kg_communities_louvain,
         "kg_link_prediction": _kg_link_prediction,
         "kg_negative_samples": _kg_negative_samples,
         "kg_edge_provenance": _kg_edge_provenance,
@@ -5014,6 +5109,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_hops": _KG_BFS_SQL,
         "kg_kcore": _KG_KCORE_SQL,
         "kg_incremental": _KG_FULL_SQL,
+        "kg_communities_louvain": _KG_LOUVAIN_SQL,
         "kg_link_prediction": _KG_LINKPRED_SQL,
         "kg_negative_samples": _KG_NEG_SQL,
         "kg_edge_provenance": _KG_PROVENANCE_SQL,

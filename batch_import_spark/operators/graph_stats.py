@@ -488,6 +488,135 @@ def modularity_scaled(
     )
 
 
+def louvain_refine(
+    df: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+    sweeps: int = 1,
+    colors: int = 4,
+) -> DataFrame:
+    """One-level Louvain refinement (Blondel et al. 2008, phase-1
+    local moves) of an existing community assignment — typically the
+    ``label_propagation`` output — by synchronous greedy modularity-
+    gain moves in exact scaled integers.
+
+    Moving node u from its community a to a neighbor community b
+    changes Newman modularity by
+
+        ΔQ = (k_ub − k_ua′)/m − k_u·(K_b − K_a′) / (2m²)
+
+    (k_uc = u's links into c, k_ua′ excluding u itself, K_c = degree
+    sum, K_a′ = K_a − k_u). Multiplying by 2m² clears denominators:
+
+        gain = 2·m·(k_ub − k_ua′) − k_u·(K_b − (K_a − k_u))
+
+    an exact BIGINT, engine-reproducible. Each sweep runs ``colors``
+    hash-colored sub-steps: only nodes with
+    pmod(portable_hash60(node), colors) == sub-step may move, to the
+    best strictly-positive gain (ties → smallest community id), and
+    gains are recomputed between sub-steps. Fully-simultaneous moves
+    oscillate (two nodes swap into each other's community, or a
+    cohort overshoots into one community, measurably DECREASING Q on
+    real graphs — observed on the planted KG); classic async Louvain
+    is visit-order-dependent. Hash-colored sub-sweeps are the
+    standard distributed-Louvain compromise (cf. Halappanavar et al.,
+    "Scalable static and dynamic community detection using Grappolo"):
+    deterministic, engine-replayable (the color hash is the portable
+    md5-60bit), and near-sequential in behavior as ``colors`` grows.
+    Grade the result with ``modularity_scaled`` (the pytest pins
+    refined >= baseline on the planted KG).
+
+    Scale shape per sweep: K_c and k_uc are map-side-combinable
+    groupBys; candidate scoring is equi-joins on node/community ids
+    with the single-row m broadcast. No window over the full graph,
+    state one row per (node, adjacent community). `gain` fits int64
+    for m ≲ 1.5·10⁹ edges (same bound as modularity_scaled); lift to
+    DECIMAL(38,0) beyond.
+    """
+    from batch_import_spark.operators.sketches import portable_hash60
+
+    e = undirected_edges(df, src, dst)
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    m_df = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    a = assign.select(F.col(node).alias("n"), F.col(community).alias("c"))
+
+    spark = df.sparkSession
+    prev_ids: set = set()
+    for _ in range(sweeps):
+        for ci in range(colors):
+            tot = (
+                a.join(deg, a["n"] == deg["u"])
+                .groupBy("c")
+                .agg(F.sum("d").cast("long").alias("tot"))
+            )
+            kuc = (
+                both.join(
+                    a.select(F.col("n").alias("v"), F.col("c").alias("vc")),
+                    "v",
+                )
+                .groupBy("u", "vc")
+                .agg(F.count(F.lit(1)).cast("long").alias("k"))
+            )
+            cur = (
+                a.select(F.col("n").alias("u"), F.col("c").alias("cu"))
+                .join(deg.select("u", F.col("d").alias("ku")), "u")
+                .join(
+                    tot.select(
+                        F.col("c").alias("cu"), F.col("tot").alias("tot_cu")
+                    ),
+                    "cu",
+                )
+                .join(
+                    kuc.select(
+                        "u", F.col("vc").alias("cu"), F.col("k").alias("k_own")
+                    ),
+                    ["u", "cu"],
+                    "left",
+                )
+                .na.fill(0, ["k_own"])
+            )
+            cand = (
+                cur.where(
+                    F.pmod(portable_hash60(F.col("u")), F.lit(colors)) == ci
+                )
+                .join(kuc, "u")
+                .where(F.col("vc") != F.col("cu"))
+                .join(tot.select(F.col("c").alias("vc"), "tot"), "vc")
+                .crossJoin(F.broadcast(m_df))
+                .select(
+                    "u",
+                    "vc",
+                    F.expr(
+                        "2*m*(k - k_own) - ku*(tot - (tot_cu - ku))"
+                    ).alias("gain"),
+                )
+            )
+            best = (
+                cand.where(F.col("gain") > 0)
+                .groupBy("u")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("gain")).alias("negg"), F.col("vc"))
+                    ).alias("b")
+                )
+                .select("u", F.col("b.vc").alias("new_c"))
+            )
+            a = (
+                cur.select("u", "cu")
+                .join(best, "u", "left")
+                .select(
+                    F.col("u").alias("n"),
+                    F.coalesce("new_c", "cu").alias("c"),
+                )
+            )
+            a, prev_ids = _checkpoint_rotate(spark, a, prev_ids)
+    return a.select(F.col("n").alias(node), F.col("c").alias(community))
+
+
 def link_prediction_scores(
     df: DataFrame,
     src: str = "src",

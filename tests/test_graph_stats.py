@@ -247,3 +247,75 @@ def test_modularity_singleton_partition_is_negative_or_zero(spark):
     rows = modularity_scaled(edges, assign).collect()
     assert all(r["m_intra"] == 0 for r in rows)
     assert sum(r["contrib"] for r in rows) < 0
+
+
+def test_louvain_corrects_misassigned_node(spark):
+    """Two triangles + bridge, but node 2 starts in the WRONG triangle
+    community: one louvain sweep moves it home and recovers the
+    closed-form optimum (contrib 35 + 35 = 70)."""
+    from batch_import_spark.operators.graph_stats import (
+        louvain_refine,
+        modularity_scaled,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)],
+        "src long, dst long",
+    )
+    bad = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 1), (5, 1)],
+        "node long, community long",
+    )
+    before = sum(
+        r["contrib"] for r in modularity_scaled(edges, bad).collect()
+    )
+    refined = louvain_refine(edges, bad, sweeps=1)
+    got = {r.node: r.community for r in refined.collect()}
+    assert got[2] == 0  # moved back to its triangle
+    after = sum(
+        r["contrib"]
+        for r in modularity_scaled(edges, refined).collect()
+    )
+    assert after == 70 and after > before
+
+
+def test_louvain_fixpoint_on_optimal_assignment(spark):
+    """On the already-optimal partition no strictly-positive gain
+    exists; the sweep is the identity."""
+    from batch_import_spark.operators.graph_stats import louvain_refine
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)],
+        "src long, dst long",
+    )
+    good = spark.createDataFrame(
+        [(n, n // 3) for n in range(6)], "node long, community long"
+    )
+    got = {r.node: r.community for r in louvain_refine(edges, good).collect()}
+    assert got == {n: n // 3 for n in range(6)}
+
+
+def test_louvain_beats_lp_baseline_on_actual_kg(spark):
+    """Round-4 VERDICT item 7 done-criterion: modularity of the
+    refined communities >= the label-propagation baseline on the
+    planted KG."""
+    import __spark_entry__ as entry
+    from batch_import_spark.operators.graph_stats import (
+        label_propagation,
+        louvain_refine,
+        modularity_scaled,
+    )
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+    from pyspark.sql import functions as F
+
+    t = entry._planted_transcripts_full(spark, "/root/testdata/sf0.001")
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+    g = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    lp = label_propagation(g, iterations=4)
+    refined = louvain_refine(g, lp, sweeps=1)
+    q_lp = sum(r["contrib"] for r in modularity_scaled(g, lp).collect())
+    q_ref = sum(r["contrib"] for r in modularity_scaled(g, refined).collect())
+    assert q_ref >= q_lp
