@@ -4677,6 +4677,129 @@ SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <
 """
 
 
+def _ivf_pq(spark, sf):
+    """IVF-PQ residual quantization ANN (similarity.py ivf_pq_topk):
+    coarse cells + 8x4-bit integer PQ codes per vector (4 B vs 3 KB),
+    ADC scoring in exact BIGINTs. Codebook = quantized residuals of
+    the 16 ids after the centroid seeds (data-seeded, closed-form);
+    the oracle replays cells, residuals, codes, and ADC bit-for-bit.
+    Approximate by construction — recall vs exact top-k is pinned in
+    tests/test_similarity_pq.py."""
+    from batch_import_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        emb, q, n_cells=16, n_probe=4, m_sub=8, k_codes=16, k=5,
+        refine_iters=0,
+    ).select("query_id", "vec_id", "rank", "adc_dist")
+
+
+def _ivf_pq_oracle_sql(
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """DuckDB replay of the full IVF-PQ path: same float centroid
+    seeds + argmax-dot cells (the proven IVF oracle), then integer
+    residuals (floor(x*scale) - floor(c*scale)), data-seeded codebook
+    (residuals of the k_codes ids after the centroid seeds), argmin-L2
+    codes with lowest-code tie-break, and BIGINT ADC — register-exact
+    end to end."""
+    ds = dim // m_sub
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS v
+  FROM c ORDER BY vec_id LIMIT {n_cells}
+),
+qcent AS MATERIALIZED (
+  SELECT cell, list_transform(v, x -> CAST(floor(x * {scale}) AS BIGINT)) AS qc
+  FROM cent
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.e, cent.v) DESC, cent.cell ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+rq AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         [CAST(floor(a.e[i] * {scale}) AS BIGINT) - q.qc[i]
+          for i in generate_series(1, {dim})] AS r
+  FROM assign a JOIN qcent q ON q.cell = a.cell
+),
+book AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, r
+  FROM (SELECT vec_id, r FROM rq ORDER BY vec_id
+        LIMIT {k_codes} OFFSET {n_cells})
+),
+sub AS (SELECT unnest(generate_series(0, {m_sub} - 1)) AS m),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, j FROM (
+    SELECT r.vec_id, s.m, b.j,
+           row_number() OVER (PARTITION BY r.vec_id, s.m ORDER BY
+             list_sum([ (r.r[s.m * {ds} + i] - b.r[s.m * {ds} + i])
+                        * (r.r[s.m * {ds} + i] - b.r[s.m * {ds} + i])
+                        for i in generate_series(1, {ds})]) ASC,
+             b.j ASC) AS rn
+    FROM rq r CROSS JOIN sub s CROSS JOIN book b
+  ) WHERE rn = 1
+),
+probe AS MATERIALIZED (
+  SELECT query_id, qe, cell FROM (
+    SELECT q.vec_id AS query_id, q.e AS qe, cent.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.e, cent.v) DESC, cent.cell ASC) AS rn
+    FROM c q CROSS JOIN cent WHERE q.vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+qrq AS MATERIALIZED (
+  SELECT p.query_id, p.cell,
+         [CAST(floor(p.qe[i] * {scale}) AS BIGINT) - q.qc[i]
+          for i in generate_series(1, {dim})] AS r
+  FROM probe p JOIN qcent q USING (cell)
+),
+qd AS MATERIALIZED (
+  SELECT q.query_id, q.cell, s.m, b.j,
+         CAST(list_sum([ (q.r[s.m * {ds} + i] - b.r[s.m * {ds} + i])
+                         * (q.r[s.m * {ds} + i] - b.r[s.m * {ds} + i])
+                         for i in generate_series(1, {ds})]) AS BIGINT) AS d
+  FROM qrq q CROSS JOIN sub s CROSS JOIN book b
+),
+adc AS (
+  SELECT p.query_id, a.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN qd ON qd.query_id = p.query_id AND qd.cell = p.cell
+         AND qd.m = co.m AND qd.j = co.j
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, rank, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
 def _embed_near_dups(spark, sf):
     """Embedding-cosine near-dup detection over a corpus with planted
     duplicates (the raw table's max pairwise cosine is ~0.51, so
@@ -5030,6 +5153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
+        "ivf_pq_topk": _ivf_pq,
         "embed_near_dups": _embed_near_dups,
         "corpus_curation": _corpus_curation,
         "asof_last_click": _asof_last_click,
@@ -5153,6 +5277,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
+        "ivf_pq_topk": _ivf_pq_oracle_sql(),
         "embed_near_dups": _embed_near_dups_oracle_sql(),
         "corpus_curation": _corpus_curation_oracle_sql(),
         "asof_last_click": _ASOF_SQL,

@@ -396,6 +396,300 @@ def ivf_ann_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+#: Fixed-point scale for PQ integer quantization: floor(x * PQ_SCALE)
+#: is exact in IEEE double for |x| < 2^43, so the quantized vectors,
+#: residuals, codes, and ADC distances are BIGINTs any engine
+#: reproduces bit-for-bit (the "register-exact" sketch discipline).
+PQ_SCALE = 1000
+
+
+def _q_int(vec: Column, scale: int = PQ_SCALE) -> Column:
+    return F.transform(vec, lambda x: F.floor(x * scale).cast("long"))
+
+
+def pq_codebook_from_corpus(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = PQ_SCALE,
+    skip: int = 0,
+) -> list[list[list[int]]]:
+    """Deterministic data-seeded integer PQ codebook: codeword j of
+    subspace m is the quantized IVF residual sub-vector of the
+    (skip + j)-th lowest-id corpus vector (k-means-style init without
+    RNG, same closed-form-replay discipline as ivf_seed_centroids,
+    and data-adaptive — codewords live in the residual distribution,
+    so recall beats hash-uniform codewords). ``skip`` MUST jump past
+    the IVF centroid seeds: those vectors ARE the (normalized)
+    centroids, so their residuals are ~zero and seeding from them
+    degenerates the whole codebook to zero codewords (observed:
+    recall collapses to ~0.2). Only skip + k_codes vectors reach the
+    driver. Python's sequential loops use the same left-to-right IEEE
+    accumulation as the engines' dot products, so the cell
+    assignment — the one float step — matches both engines; all later
+    arithmetic is BIGINT."""
+    import math as _math
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(skip + k_codes)
+        .collect()
+    )[skip:]
+    dim = len(centroids[0])
+    ds = dim // m_sub
+    qcents = [[_math.floor(x * scale) for x in cv] for cv in centroids]
+    book: list[list[list[int]]] = [[] for _ in range(m_sub)]
+    for r in rows:
+        v = [float(x) for x in r.v]
+        best_d, best_c = None, 0
+        for ci, cv in enumerate(centroids):
+            d = 0.0
+            for a, b in zip(v, cv):
+                d += a * b
+            if best_d is None or d > best_d:
+                best_d, best_c = d, ci
+        qv = [_math.floor(x * scale) for x in v]
+        rq = [qv[i] - qcents[best_c][i] for i in range(dim)]
+        for m in range(m_sub):
+            book[m].append(rq[m * ds : (m + 1) * ds])
+    return book
+
+
+def pq_refine_codebook(
+    rq_df: DataFrame,
+    book: list[list[list[int]]],
+    iters: int = 1,
+) -> list[list[list[int]]]:
+    """Lloyd refinement of the PQ codebook over the corpus residuals
+    (``rq_df`` must have an array<long> column ``rq``): assign every
+    residual sub-vector to its nearest codeword (argmin L2², ties →
+    lowest code — BIGINT exact), recompute each codeword as the
+    component-wise mean of its members. The mean uses
+    floor(double(sum) / count): both engines evaluate the identical
+    IEEE division (exact inputs, one rounding), so the refined book
+    is still closed-form replayable — plain BIGINT `div` would NOT be
+    (Spark truncates toward zero, DuckDB floors, and residual sums go
+    negative). Empty codes keep their codeword. Driver traffic per
+    iter: m_sub x k_codes x ds integers."""
+    import math as _math
+
+    m_sub = len(book)
+    ds = len(book[0][0])
+    zero = F.lit(0).cast("long")
+    for _ in range(iters):
+        book_lit = F.array(*[_long_lit_2d(sub) for sub in book])
+        sub = rq_df.select(
+            F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+            F.col("rq"),
+        ).select(
+            "m", F.slice(F.col("rq"), F.col("m") * ds + 1, ds).alias("sv")
+        )
+        coded = sub.select(
+            "m",
+            "sv",
+            F.array_min(
+                F.transform(
+                    F.get(book_lit, F.col("m")),
+                    lambda cw, j: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("sv"), cw, lambda a, b: (a - b) * (a - b)
+                            ),
+                            zero,
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        j.alias("j"),
+                    ),
+                )
+            )["j"].alias("code"),
+        )
+        comp = (
+            coded.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                F.sum("val").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        for r in comp:
+            by_key.setdefault((r.m, r.code), {})[r.pos] = int(
+                _math.floor(float(r.s) / r.n)
+            )
+        new_book = []
+        for m in range(m_sub):
+            words = []
+            for j in range(len(book[m])):
+                got = by_key.get((m, j))
+                if got is None:
+                    words.append(book[m][j])
+                else:
+                    words.append([got.get(p, 0) for p in range(ds)])
+            new_book.append(words)
+        book = new_book
+    return book
+
+
+def _long_lit_2d(arr: list[list[int]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(int(x)).cast("long") for x in row]) for row in arr]
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    refine_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with residual quantization (Jégou et al. 2011, the
+    100 TB ANN storage path): coarse IVF cells + per-subspace integer
+    product-quantization of the residual, scored by asymmetric
+    distance computation (ADC) against the query's residual.
+
+    Storage per vector after encoding: one cell id + ``m_sub`` codes
+    of log2(k_codes) bits — 8 codes x 4 bits = 4 B at the defaults
+    (plus the id), vs ~3 KB for a raw 64-dim float vector; the
+    codebook is k_codes·dim integers, a broadcast literal.
+
+    Exactness discipline: quantization (floor(x·scale)), residuals,
+    code assignment (argmin L2², ties → lowest code), and ADC
+    distances are all BIGINT — register-exact across engines like the
+    sketch family; only the cell argmax touches floats (the already-
+    oracle-proven IVF step). Returns (query_id, vec_id, rank,
+    adc_dist); approximate by construction — recall vs exact top-k is
+    pinned in pytest.
+
+    Scale shape: encoding is one codegen scan (centroid + codebook
+    literals, zero shuffle); the query side joins candidates by cell
+    exactly like ivf_ann_topk, but candidates carry only (id, cell,
+    codes) — never the raw vectors, so the shuffle/broadcast payload
+    drops by the same ~100x as the storage.
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(corpus, n_cells, id_col, vec_col)
+    book = pq_codebook_from_corpus(
+        corpus, centroids, m_sub, k_codes, id_col, vec_col, scale,
+        skip=n_cells,
+    )
+    dim = len(centroids[0])
+    ds = dim // m_sub
+    qcents_lit = _long_lit_2d(
+        [[math.floor(x * scale) for x in cv] for cv in centroids]
+    )
+    zero = F.lit(0).cast("long")
+
+    def _sq_l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    rq_base = c.withColumn("cell", _nearest_cell("c_vec", centroids)).withColumn(
+        "rq",
+        F.zip_with(
+            _q_int(F.col("c_vec"), scale),
+            F.get(qcents_lit, F.col("cell")),
+            lambda a, b: a - b,
+        ),
+    )
+    if refine_iters:
+        book = pq_refine_codebook(rq_base.select("rq"), book, refine_iters)
+    book_lit = F.array(*[_long_lit_2d(sub) for sub in book])
+    assigned = (
+        rq_base
+        .withColumn(
+            "codes",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                lambda m: F.array_min(
+                    F.transform(
+                        F.get(book_lit, m),
+                        lambda cw, j: F.struct(
+                            _sq_l2(
+                                F.slice(F.col("rq"), m * ds + 1, ds), cw
+                            ).alias("d"),
+                            j.alias("j"),
+                        ),
+                    )
+                )["j"].cast("int"),
+            ),
+        )
+        .select("vec_id", "cell", "codes")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "q_vec",
+            F.posexplode(_cell_scores("q_vec", centroids)).alias(
+                "cell", "score"
+            ),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .where(F.col("prank") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                _q_int(F.col("q_vec"), scale),
+                F.get(qcents_lit, F.col("cell")),
+                lambda a, b: a - b,
+            ).alias("q_rq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda code, m: _sq_l2(
+                F.slice(F.col("q_rq"), m * ds + 1, ds),
+                F.get(F.get(book_lit, m), code),
+            ),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "query_id", "vec_id", adc.cast("long").alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     dim: int,
