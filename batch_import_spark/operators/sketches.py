@@ -276,6 +276,39 @@ def _bloom_pos(key: Column, seed: int, m_bits: int) -> Column:
     )
 
 
+# --- shared register kernel --------------------------------------------------
+#
+# Every cell-addressed sketch in this module (Bloom, CMS — and any
+# future one) shares exactly two pieces of plumbing: the seeded
+# position array for a key, and the probe-side (key, seed, pos)
+# expansion that joins against a broadcast register table. Keeping
+# them here means a new sketch is its register semantics plus an
+# estimator — a page, not a module (theta_sketch below is the
+# existence proof).
+
+
+def seeded_positions(key: Column, n_seeds: int, m: int) -> Column:
+    """array<struct<seed:int, pos:long>> of a key's register cells
+    under the portable seed-prefixed hash."""
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("seed"), _bloom_pos(key, i, m).alias("pos"))
+            for i in range(n_seeds)
+        ]
+    )
+
+
+def _probe_positions(
+    probes: DataFrame, key_col: str, n_seeds: int, m: int
+) -> DataFrame:
+    """(key, seed, pos) rows for every probe key — the shared probe
+    expansion (narrow map; callers broadcast-join it to registers)."""
+    key = F.col(key_col)
+    return probes.select(
+        key.alias("key"), F.explode(seeded_positions(key, n_seeds, m)).alias("sp")
+    ).select("key", F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
+
+
 def bloom_build(
     df: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 4
 ) -> DataFrame:
@@ -296,11 +329,11 @@ def bloom_build(
     expensive anti-join (false positives only cost a wasted join row).
     """
     key = F.col(key_col)
-    pos = F.explode(
-        F.array(*[_bloom_pos(key, i, m_bits) for i in range(k_hashes)])
-    ).alias("pos")
     return (
-        df.select(pos)
+        df.select(
+            F.explode(seeded_positions(key, k_hashes, m_bits)).alias("sp")
+        )
+        .select(F.col("sp.pos").alias("pos"))
         .distinct()
         .select(
             F.expr("pos div 63").alias("word_idx"),
@@ -327,11 +360,11 @@ def bloom_probe(
     (m/63 rows), so the position join broadcasts; probing is a narrow
     map + one broadcast join + one groupBy on the probe key.
     """
-    key = F.col(key_col)
-    pos = F.explode(
-        F.array(*[_bloom_pos(key, i, m_bits) for i in range(k_hashes)])
-    ).alias("pos")
-    probe_pos = probes.select(key.alias("key"), pos).distinct()
+    probe_pos = (
+        _probe_positions(probes, key_col, k_hashes, m_bits)
+        .select("key", "pos")
+        .distinct()
+    )
     joined = probe_pos.withColumn(
         "word_idx", F.expr("pos div 63")
     ).join(F.broadcast(registers), "word_idx", "left")
@@ -366,16 +399,8 @@ def cms_build(
     add, never subtract), error ≤ 2N/width with prob 1 - 2^-depth.
     """
     key = F.col(key_col)
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("seed"), _bloom_pos(key, i, width).alias("pos")
-            )
-            for i in range(depth)
-        ]
-    )
     return (
-        df.select(F.explode(arr).alias("sp"))
+        df.select(F.explode(seeded_positions(key, depth, width)).alias("sp"))
         .groupBy(F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -391,19 +416,61 @@ def cms_estimate(
     """Point-query the sketch: est(key) = min over seeds of the
     key's register cell. Registers broadcast (depth × width rows);
     probing is a narrow map + broadcast join + per-key min."""
-    key = F.col(key_col)
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("seed"), _bloom_pos(key, i, width).alias("pos")
-            )
-            for i in range(depth)
-        ]
-    )
-    probe_pos = probes.select(key.alias("key"), F.explode(arr).alias("sp")).select(
-        "key", F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos")
-    )
+    probe_pos = _probe_positions(probes, key_col, depth, width)
     joined = probe_pos.join(F.broadcast(registers), ["seed", "pos"], "left")
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est")
+    )
+
+
+# --- theta sketch (set operations) -------------------------------------------
+
+
+def theta_sketch(df: DataFrame, key_col: str, frac_bits: int = 4) -> DataFrame:
+    """Fixed-theta sketch: the distinct portable hashes whose top
+    ``frac_bits`` bits are zero (sampling rate 2^-frac_bits, i.e.
+    theta = 2^(60 - frac_bits)). Registers are exact BIGINTs — any
+    engine rebuilds the identical set — and the register table is a
+    ~2^-frac_bits uniform sample of the distinct keys, so
+    |distinct| ≈ n_registers << frac_bits.
+
+    Unlike KMV (k smallest) the kept-set is a FIXED hash region, so
+    sketches of different tables compose by plain set algebra:
+    union of registers = sketch of the union, intersection =
+    sketch of the intersection — the set-operation estimator family
+    (Dasgupta et al., the DataSketches theta family, specialised to a
+    fixed theta). One narrow map + one distinct per sketch; merges
+    are map-side-combinable unions. Built on the shared portable-hash
+    kernel: this whole sketch is the 'a page, not a module' payoff.
+    """
+    h = portable_hash60(F.col(key_col))
+    return (
+        df.select(h.alias("h"))
+        .where(F.expr(f"shiftright(h, {60 - frac_bits})") == 0)
+        .distinct()
+    )
+
+
+def theta_set_ops(
+    a: DataFrame, b: DataFrame, frac_bits: int = 4
+) -> DataFrame:
+    """Estimate |A|, |B|, |A ∪ B|, |A ∩ B| from two theta sketches
+    (single-row output; every column BIGINT-exact given the
+    registers). Intersection-by-inclusion-exclusion would also work;
+    register intersection is direct and never negative."""
+    na, nb = a.count(), b.count()
+    n_union = a.union(b).distinct().count()
+    n_inter = a.join(b, "h", "left_semi").count()
+    spark = a.sparkSession
+    scale = 1 << frac_bits
+    return spark.createDataFrame(
+        [
+            (
+                int(na), int(nb), int(n_union), int(n_inter),
+                int(na * scale), int(nb * scale),
+                int(n_union * scale), int(n_inter * scale),
+            )
+        ],
+        "regs_a long, regs_b long, regs_union long, regs_inter long, "
+        "est_a long, est_b long, est_union long, est_inter long",
     )

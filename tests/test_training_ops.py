@@ -573,3 +573,36 @@ def test_rolling_fingerprint_reference_and_extension(spark):
         assert got[i] == ref(t)
     # the defining rolling property: hash(s + c) = (hash(s)*B + c) mod P
     assert ref("abc") == (ref("ab") * ROLL_B + ord("c")) % ROLL_P
+
+
+def test_theta_sketch_merge_and_estimates(spark):
+    """Theta registers: sketch(A ∪ B) == sketch(A) ∪ sketch(B)
+    exactly (fixed theta ⇒ plain set algebra), estimates track the
+    true distinct counts within sampling error, and small frac_bits
+    keeps everything (exact mode)."""
+    from batch_import_spark.operators.sketches import theta_set_ops, theta_sketch
+
+    a = spark.createDataFrame(
+        [(i,) for i in range(3000)], "user_id long"
+    )
+    b = spark.createDataFrame(
+        [(i,) for i in range(1500, 4500)], "user_id long"
+    )
+    sa, sb = theta_sketch(a, "user_id"), theta_sketch(b, "user_id")
+    su = theta_sketch(a.union(b), "user_id")
+    merged = {r.h for r in sa.collect()} | {r.h for r in sb.collect()}
+    assert merged == {r.h for r in su.collect()}
+
+    r = theta_set_ops(sa, sb).collect()[0]
+    assert r.est_a == r.regs_a * 16 and r.est_inter == r.regs_inter * 16
+    # truth: |A|=3000, |B|=3000, |A∪B|=4500, |A∩B|=1500; ~3 sigma
+    assert abs(r.est_union - 4500) < 4500 * 0.55
+    assert r.regs_union == r.regs_a + r.regs_b - r.regs_inter
+
+    # frac_bits=0 keeps every distinct hash: estimates become exact
+    ea = theta_sketch(a, "user_id", frac_bits=0)
+    eb = theta_sketch(b, "user_id", frac_bits=0)
+    ex = theta_set_ops(ea, eb, frac_bits=0).collect()[0]
+    assert (ex.est_a, ex.est_b, ex.est_union, ex.est_inter) == (
+        3000, 3000, 4500, 1500,
+    )
