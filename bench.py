@@ -131,6 +131,14 @@ def main() -> int:
         "cdc_chunks",
         "rolling_fingerprint",
         "mad_outliers",
+        # round 5
+        "repetition_screen",
+        "pii_redact",
+        "crossdoc_substring_removal",
+        "kg_communities_louvain",
+        "ivf_pq_topk",
+        "theta_set_ops",
+        "sft_pairs",
     ]
     for name in bench_queries:
         t0 = time.time()

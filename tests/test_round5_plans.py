@@ -1,0 +1,41 @@
+"""Plan-shape regression guards for the round-5 entries.
+
+Same discipline as test_round4_ops.test_round4_query_plan_shapes: no
+nested-loop/cartesian joins (the theta scalar assembly and the
+modularity-style broadcast single-row joins are the only sanctioned
+cross joins in the repo, and none of these queries needs one), and
+the pure narrow maps stay zero-Exchange.
+"""
+
+from __future__ import annotations
+
+
+def test_round5_query_plan_shapes(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+
+    def plan_of(name):
+        return qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    for name in (
+        "repetition_screen",
+        "pii_redact",
+        "crossdoc_substring_removal",
+        "sft_pairs",
+        "kg_communities_louvain",
+        "ivf_pq_topk",
+    ):
+        p = plan_of(name)
+        assert "NestedLoop" not in p and "Cartesian" not in p, name
+
+    # pii redaction is a pure codegen regex chain: zero shuffles
+    assert "Exchange" not in plan_of("pii_redact")
+
+    # ivf-pq candidates must ship codes, never raw vectors: the join
+    # output carries the codes array and the post-join projection has
+    # no embedding column
+    p = plan_of("ivf_pq_topk")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" not in p
+    assert "codes" in p
