@@ -934,10 +934,7 @@ def _pii_redact(spark, sf):
     return redact_pii(planted)
 
 
-def _pii_sql() -> str:
-    from batch_import_spark.operators.pii import PII_PATTERNS
-
-    plant = """
+_PII_PLANT_BLOCK = """
 planted AS (
   SELECT doc_id,
          CASE CAST(doc_id % 7 AS INT)
@@ -955,6 +952,13 @@ planted AS (
            ELSE text END AS t0
   FROM documents
 )"""
+
+
+def _pii_count_steps() -> tuple[str, str]:
+    """The sequential count-then-redact CTE chain over planted.t0;
+    returns (joined steps SQL, final-text alias)."""
+    from batch_import_spark.operators.pii import PII_PATTERNS
+
     steps, prev = [], "t0"
     for i, (kind, pattern, token) in enumerate(PII_PATTERNS):
         cur = f"t{i + 1}"
@@ -967,21 +971,161 @@ planted AS (
             f"  FROM {src})"
         )
         prev = cur
+    return ",\n".join(steps), prev
+
+
+def _pii_sql() -> str:
+    from batch_import_spark.operators.pii import PII_PATTERNS
+
+    steps, final = _pii_count_steps()
     total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
     names = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
     return (
         "WITH "
-        + plant
+        + _PII_PLANT_BLOCK
         + ",\n"
-        + ",\n".join(steps)
+        + steps
         + f"""
-SELECT doc_id, {names}, {total} AS n_pii, {prev} AS redacted
+SELECT doc_id, {names}, {total} AS n_pii, {final} AS redacted
 FROM s{len(PII_PATTERNS) - 1}
 """
     )
 
 
 _PII_REDACT_SQL = _pii_sql()
+
+
+def _quality_gate(spark, sf):
+    """Composite curation gate — the CCNet/Gopher-style keep/drop
+    decision chaining this repo's quality screens over one corpus
+    (the PII-planted variant, so every rule fires on real rows):
+    'pii_heavy' (>= 2 PII hits), 'repetitive' (top-2-gram char mass
+    >= 120000 ppm — fires on ~9%% of the fixture), 'too_short'
+    (< 30 tokens — ~21%%). Output keeps the signal columns plus the
+    ordered reason list so downstream can audit every drop. Pure
+    composition of operators/pii.py + operators/repetition.py —
+    still narrow maps + per-doc aggregations, no new shuffle class."""
+    from batch_import_spark.operators.pii import redact_pii
+    from batch_import_spark.operators.repetition import repetition_screen
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    planted = d.select(
+        "doc_id",
+        _pii_planted_text(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    base = planted.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    pii = redact_pii(planted).select("doc_id", "n_pii")
+    rep = repetition_screen(planted).select("doc_id", "top2_gram_ppm")
+    j = base.join(pii, "doc_id").join(rep, "doc_id")
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_pii") >= 2, F.lit("pii_heavy")),
+            F.when(F.col("top2_gram_ppm") >= 120000, F.lit("repetitive")),
+            F.when(F.col("n_tokens") < 30, F.lit("too_short")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_pii",
+        "top2_gram_ppm",
+        F.concat_ws(",", reasons).alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
+def _quality_gate_sql() -> str:
+    from batch_import_spark.operators.pii import PII_PATTERNS
+
+    steps, _final = _pii_count_steps()
+    total = " + ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    return (
+        "WITH "
+        + _PII_PLANT_BLOCK
+        + ",\n"
+        + steps
+        + f""",
+pii AS (SELECT doc_id, {total} AS n_pii FROM s{len(PII_PATTERNS) - 1}),
+tk AS (
+  SELECT doc_id, t0 AS text,
+         list_filter(regexp_split_to_array(lower(trim(t0)), '\\s+'),
+                     x -> x <> '') AS tkn
+  FROM planted
+),
+base AS (
+  SELECT doc_id, CAST(len(tkn) AS BIGINT) AS n_tokens, tkn,
+         CAST(length(array_to_string(tkn, ' ')) AS BIGINT) AS chars
+  FROM tk WHERE len(tkn) > 0
+),
+g AS (
+  SELECT doc_id, array_to_string(tkn[i:i+1], ' ') AS gg
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 1, 1)) AS i
+        FROM base WHERE len(tkn) >= 2)
+),
+gc AS (SELECT doc_id, gg, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+best AS (SELECT doc_id, min({{'negc': -c, 'g': gg}}) AS b FROM gc GROUP BY 1),
+rep AS (
+  SELECT base.doc_id,
+         CAST(coalesce((-b.b.negc) * length(b.b.g) * 1000000 // base.chars, 0)
+              AS BIGINT) AS top2_gram_ppm
+  FROM base LEFT JOIN best b ON b.doc_id = base.doc_id
+),
+j AS (
+  SELECT base.doc_id, base.n_tokens, pii.n_pii, rep.top2_gram_ppm,
+         list_filter([CASE WHEN pii.n_pii >= 2 THEN 'pii_heavy' END,
+                      CASE WHEN rep.top2_gram_ppm >= 120000 THEN 'repetitive' END,
+                      CASE WHEN base.n_tokens < 30 THEN 'too_short' END],
+                     x -> x IS NOT NULL) AS rs
+  FROM base JOIN pii USING (doc_id) JOIN rep USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_pii, top2_gram_ppm,
+       coalesce(array_to_string(rs, ','), '') AS reasons,
+       len(rs) = 0 AS keep
+FROM j
+"""
+    )
+
+
+_QUALITY_GATE_SQL = _quality_gate_sql()
+
+
+def _temperature_mixture(spark, sf):
+    """Temperature-scaled domain-mixture weights (operators/
+    sampling.py temperature_mixture): per-source sampling shares
+    ∝ sqrt(n_docs) with a 100k-row budget allocation and the
+    epochs-per-domain signal — the mixture-design table every
+    multi-domain training run starts from. One count groupBy + one
+    broadcast scalar join; shares/allocations BIGINT-exact."""
+    from batch_import_spark.operators.sampling import temperature_mixture
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return temperature_mixture(d, "source", token_budget=100_000)
+
+
+_TEMPERATURE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_scaled
+  FROM counts
+),
+t AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS wsum FROM w)
+SELECT source, n_docs, w_scaled,
+       CAST((w_scaled * 1000000) // wsum AS BIGINT) AS share_ppm,
+       CAST((100000 * w_scaled) // wsum AS BIGINT) AS alloc_docs,
+       CAST((((100000 * w_scaled) // wsum) * 1000000) // n_docs AS BIGINT)
+         AS epochs_ppm
+FROM w CROSS JOIN t
+"""
 
 
 def _text_fingerprint(spark, sf):
@@ -4848,6 +4992,103 @@ SELECT query_id, vec_id, rank, adc_dist FROM (
 """
 
 
+def _planted_embed_corpus(spark, sf):
+    """The shared planted-duplicate embedding corpus: raw vectors
+    (max pairwise cosine ~0.51) plus, for ids < 15, a x2-scaled copy
+    (cosine exactly 1) and an index-perturbed copy (~0.9985). The
+    duplicate-pair graph at threshold 0.95 is exactly the 15 planted
+    TRIANGLES {b, b+10000, b+20000} — closed form for the oracles."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where(F.col("vec_id") < 15)
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias("embedding"),
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: x * (F.lit(1.0) + F.lit(0.05) * (i % 3))
+        ).alias("embedding"),
+    )
+    return emb.unionAll(scaled).unionAll(perturbed)
+
+
+def _semantic_dedup(spark, sf):
+    """SemDeDup semantic dedup (operators/semdedup.py): IVF-cell
+    clustering + greedy keep-first eviction of cosine-near-identical
+    vectors inside each cell, over the shared planted-duplicate
+    corpus. The oracle replays cells + brute-force pairs; the greedy
+    verdict is closed-form because the planted pair graph is a union
+    of cliques (diameter <= 2 — pinned by pytest), where greedy ==
+    'keep the id with no smaller neighbor, dup_of = smallest
+    level-1-keeper neighbor'."""
+    from batch_import_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _planted_embed_corpus(spark, sf), n_cells=16, threshold=0.95
+    )
+
+
+_SEMDEDUP_SQL = """
+WITH raw AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c AS MATERIALIZED (
+  SELECT vec_id, e FROM raw
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(e, x -> x * 2.0) FROM raw WHERE vec_id < 15
+  UNION ALL
+  SELECT vec_id + 20000,
+         [e[i] * (1.0 + 0.05 * ((i - 1) % 3)) for i in generate_series(1, len(e))]
+  FROM raw WHERE vec_id < 15
+),
+cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS v
+  FROM c ORDER BY vec_id LIMIT 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.e, cent.v) DESC, cent.cell ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(CASE WHEN sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e)) > 0
+                   THEN list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e)))
+                   ELSE 0.0 END, 6) >= 0.95
+),
+-- greedy keep-first closed form (valid for clique components):
+-- level-1 keeper = no smaller-id neighbor; dropped = has a keeper
+-- neighbor below it, witness = the smallest such keeper
+lvl1 AS (
+  SELECT vec_id FROM assign a
+  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.ib = a.vec_id)
+),
+drops AS (
+  SELECT p.ib AS vec_id, CAST(MIN(p.ia) AS BIGINT) AS dup_of
+  FROM pairs p JOIN lvl1 k ON k.vec_id = p.ia
+  GROUP BY p.ib
+)
+SELECT a.vec_id, a.cell,
+       d.dup_of IS NULL AS keep,
+       d.dup_of
+FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+"""
+
+
 def _embed_near_dups(spark, sf):
     """Embedding-cosine near-dup detection over a corpus with planted
     duplicates (the raw table's max pairwise cosine is ~0.51, so
@@ -5133,6 +5374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
         "pii_redact": _pii_redact,
+        "quality_gate": _quality_gate,
+        "temperature_mixture": _temperature_mixture,
         "crossdoc_substring_removal": _crossdoc_substring_removal,
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
@@ -5203,6 +5446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann,
         "ivf_pq_topk": _ivf_pq,
         "embed_near_dups": _embed_near_dups,
+        "semantic_dedup": _semantic_dedup,
         "corpus_curation": _corpus_curation,
         "asof_last_click": _asof_last_click,
         "range_window_join": _range_window_join,
@@ -5259,6 +5503,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
         "pii_redact": _PII_REDACT_SQL,
+        "quality_gate": _QUALITY_GATE_SQL,
+        "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
         "crossdoc_substring_removal": _CROSSDOC_SQL,
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
@@ -5328,6 +5574,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_oracle_sql(),
         "embed_near_dups": _embed_near_dups_oracle_sql(),
+        "semantic_dedup": _SEMDEDUP_SQL,
         "corpus_curation": _corpus_curation_oracle_sql(),
         "asof_last_click": _ASOF_SQL,
         "range_window_join": _RANGE_SQL,

@@ -66,6 +66,60 @@ def mixture_sample(
     return df.where(_keyed_hash(key_cols, seed) % _BUCKETS < rate)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_budget: int,
+    temperature_num: int = 1,
+    temperature_den: int = 2,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights (the Pile/Gopher/
+    XLM-R sampling rule): source s gets sampling weight ∝ n_s^T with
+    T = temperature_num/temperature_den (default 1/2 — upweights
+    small curated domains relative to proportional sampling), and a
+    ``token_budget``-row allocation is split by those weights.
+
+    Exactness: n^(1/2) and n^(1/1) are the supported temperatures —
+    sqrt is correctly-rounded IEEE in every engine, so
+    w_s = floor(sqrt(n_s) * 10^6) is reproducible; shares and
+    allocations are then pure BIGINT arithmetic
+    (share_ppm = w_s * 10^6 div Σw, alloc = budget * w_s div Σw,
+    epochs_ppm = alloc * 10^6 div n_s — epochs > 1e6 ppm means the
+    domain repeats, the signal mixture designers watch).
+
+    Scale shape: one map-side-combinable count groupBy + one
+    broadcast single-row total join. Output: (source, n_docs,
+    w_scaled, share_ppm, alloc_docs, epochs_ppm).
+    """
+    if (temperature_num, temperature_den) == (1, 2):
+        w = F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)")
+    elif (temperature_num, temperature_den) == (1, 1):
+        w = F.expr("n_docs * 1000000")
+    else:
+        raise ValueError("supported temperatures: 1/2, 1/1")
+    counts = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("w_scaled", w)
+    )
+    tot = counts.agg(F.sum("w_scaled").cast("long").alias("wsum"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "w_scaled",
+            F.expr("(w_scaled * 1000000L) div wsum").alias("share_ppm"),
+            F.expr(f"({token_budget}L * w_scaled) div wsum").alias(
+                "alloc_docs"
+            ),
+            F.expr(
+                f"((({token_budget}L * w_scaled) div wsum) * 1000000L) div n_docs"
+            ).alias("epochs_ppm"),
+        )
+    )
+
+
 def stratified_sample_k(
     df: DataFrame,
     group_cols: list[str],

@@ -139,6 +139,9 @@ def main() -> int:
         "ivf_pq_topk",
         "theta_set_ops",
         "sft_pairs",
+        "semantic_dedup",
+        "temperature_mixture",
+        "quality_gate",
     ]
     for name in bench_queries:
         t0 = time.time()
