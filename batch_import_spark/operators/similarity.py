@@ -481,7 +481,7 @@ def pq_refine_codebook(
     ds = len(book[0][0])
     zero = F.lit(0).cast("long")
     for _ in range(iters):
-        book_lit = F.array(*[_long_lit_2d(sub) for sub in book])
+        book_lit = _long_lit_3d(book)
         sub = rq_df.select(
             F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
             F.col("rq"),
@@ -536,9 +536,19 @@ def pq_refine_codebook(
 
 
 def _long_lit_2d(arr: list[list[int]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(int(x)).cast("long") for x in row]) for row in arr]
+    # ONE nested-list literal + one cast: building this element-wise
+    # (F.lit + .cast per element) costs two py4j round-trips per
+    # element — measured ~2.5 s of pure driver latency per 1000-value
+    # constant, which dominated the whole query at bench scale
+    return F.lit([[int(x) for x in row] for row in arr]).cast(
+        "array<array<bigint>>"
     )
+
+
+def _long_lit_3d(arr: list[list[list[int]]]) -> Column:
+    return F.lit(
+        [[[int(x) for x in cw] for cw in sub] for sub in arr]
+    ).cast("array<array<array<bigint>>>")
 
 
 def ivf_pq_topk(
@@ -611,9 +621,17 @@ def ivf_pq_topk(
             lambda a, b: a - b,
         ),
     )
+    # materialize (cell, rq) BEFORE the code-assignment projection:
+    # CollapseProject would otherwise inline the argmax-dot cell scan
+    # and the residual zip_with into every one of the m_sub x k_codes
+    # codebook lambda references — the same measured-14x blowup the
+    # unit() caution above documents (observed 12 s -> ~1 s at sf0.1).
+    # At production scale the encoded table is persisted storage
+    # anyway (the codes ARE the compressed index).
+    rq_base = rq_base.drop("c_vec").localCheckpoint(eager=False)
     if refine_iters:
         book = pq_refine_codebook(rq_base.select("rq"), book, refine_iters)
-    book_lit = F.array(*[_long_lit_2d(sub) for sub in book])
+    book_lit = _long_lit_3d(book)
     assigned = (
         rq_base
         .withColumn(
@@ -635,46 +653,52 @@ def ivf_pq_topk(
         )
         .select("vec_id", "cell", "codes")
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probes = (
-        q.select(
-            "query_id",
-            "q_vec",
-            F.posexplode(_cell_scores("q_vec", centroids)).alias(
-                "cell", "score"
-            ),
-        )
-        .withColumn(
-            "prank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("score").desc(), F.col("cell").asc()
-                )
-            ),
-        )
-        .where(F.col("prank") <= n_probe)
-        .select(
-            "query_id",
-            "cell",
-            F.zip_with(
-                _q_int(F.col("q_vec"), scale),
-                F.get(qcents_lit, F.col("cell")),
-                lambda a, b: a - b,
-            ).alias("q_rq"),
-        )
-        .localCheckpoint(eager=True)
+    # Query side: queries are small by contract (the same broadcast
+    # assumption every path in this module makes), so the classic ADC
+    # LOOKUP TABLE — per (query, probed cell): the m_sub x k_codes
+    # integer distances from the query residual to every codeword —
+    # is computed driver-side in exact integer arithmetic and shipped
+    # as a broadcast probe table. Doing this with literal-array
+    # expressions instead costs seconds of Catalyst compile per query
+    # batch (the 1000-node constant trees dominate wall clock at
+    # bench scale; measured ~10 s -> ~3 s), and the scan side then
+    # reduces to one array lookup per (candidate, subspace).
+    spark = corpus.sparkSession
+    qcents = [[math.floor(x * scale) for x in cv] for cv in centroids]
+    probe_rows = []
+    for r in queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect():
+        v = [float(x) for x in r.v]
+        scores = []
+        for ci, cv in enumerate(centroids):
+            d = 0.0
+            for a, b2 in zip(v, cv):
+                d += a * b2
+            scores.append((-d, ci))
+        qv = [math.floor(x * scale) for x in v]
+        for _, cell in sorted(scores)[:n_probe]:
+            rqq = [qv[i] - qcents[cell][i] for i in range(dim)]
+            qdist = [
+                [
+                    sum(
+                        (rqq[m * ds + i] - book[m][j][i]) ** 2
+                        for i in range(ds)
+                    )
+                    for j in range(len(book[m]))
+                ]
+                for m in range(m_sub)
+            ]
+            probe_rows.append((r.query_id, cell, qdist))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, qdist array<array<long>>"
     )
     cand = assigned.join(F.broadcast(probes), "cell")
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(0), F.lit(m_sub - 1)),
-            lambda code, m: _sq_l2(
-                F.slice(F.col("q_rq"), m * ds + 1, ds),
-                F.get(F.get(book_lit, m), code),
-            ),
+            lambda code, m: F.get(F.get(F.col("qdist"), m), code),
         ),
         zero,
         lambda acc, x: acc + x,
