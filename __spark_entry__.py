@@ -1182,6 +1182,132 @@ def _bpe_merges_for(spark, sf):
     return merges
 
 
+_WP_VOCAB_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def _wp_vocab_for(spark, sf):
+    """Learn once per sf dir per process (deterministic)."""
+    from batch_import_spark.functions.wordpiece import (
+        collect_vocab,
+        wordpiece_vocab,
+    )
+
+    got = _WP_VOCAB_CACHE.get(sf)
+    if got is None:
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        got = collect_vocab(wordpiece_vocab(d, n_multi=200))
+        _WP_VOCAB_CACHE[sf] = got
+    return got
+
+
+def _wordpiece_vocab(spark, sf):
+    """WordPiece vocabulary learning (functions/wordpiece.py): all
+    single-char pieces plus the top-200 substring pieces by weight,
+    typed init/cont — the BERT-style MaxMatch vocabulary, second
+    tokenizer family next to BPE. One explode + one map-side
+    combinable groupBy over the DISTINCT word table."""
+    from batch_import_spark.functions.wordpiece import wordpiece_vocab
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return wordpiece_vocab(d, n_multi=200)
+
+
+_WP_CAND_SQL = r"""
+w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+cand AS MATERIALIZED (
+  SELECT kind, piece, CAST(SUM(n) AS BIGINT) AS weight FROM (
+    SELECT CASE WHEN i = 1 THEN 'init' ELSE 'cont' END AS kind,
+           substr(word, i, l) AS piece, n
+    FROM (SELECT word, n, unnest(generate_series(1, length(word))) AS i
+          FROM w),
+         unnest(generate_series(1, least(8, length(word) - i + 1))) AS u(l)
+  ) GROUP BY 1, 2
+),
+chars AS (SELECT kind, piece, weight, TRUE AS is_char,
+                 CAST(NULL AS INT) AS kept_rank
+          FROM cand WHERE length(piece) = 1),
+multi AS (
+  SELECT kind, piece, weight, FALSE AS is_char, kept_rank FROM (
+    SELECT kind, piece, weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, kind ASC, piece ASC)
+                AS INT) AS kept_rank
+    FROM cand WHERE length(piece) > 1
+  ) WHERE kept_rank <= 200
+)"""
+
+_WP_VOCAB_SQL = (
+    "WITH "
+    + _WP_CAND_SQL
+    + """
+SELECT * FROM chars UNION ALL SELECT * FROM multi
+"""
+)
+
+
+def _wordpiece_tokenize(spark, sf):
+    """WordPiece greedy longest-match tokenization over every doc
+    (functions/wordpiece.py): pure expression fold over the distinct
+    word table + broadcast join back — no UDF, no corpus-sized
+    shuffle beyond the per-doc aggregate. Output mirrors
+    bpe_tokenize (token count + 60-bit segmentation hash); the
+    oracle replays the greedy scan as a recursive CTE with a
+    longest-piece window."""
+    from batch_import_spark.functions.wordpiece import wordpiece_tokenize
+
+    init, cont = _wp_vocab_for(spark, sf)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return wordpiece_tokenize(d, init, cont)
+
+
+_WP_TOKENIZE_SQL = (
+    "WITH RECURSIVE "
+    + _WP_CAND_SQL
+    + r""",
+vocab AS MATERIALIZED (
+  SELECT kind, piece FROM chars UNION ALL SELECT kind, piece FROM multi
+),
+seg AS (
+  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS seg, 0 AS np FROM w
+  UNION ALL
+  SELECT word, pos + l,
+         seg || CASE WHEN np = 0 THEN '' ELSE chr(30) END
+             || CASE WHEN pos = 1 THEN '' ELSE '##' END || piece,
+         np + 1
+  FROM (
+    SELECT s.word, s.pos, s.seg, s.np, v.piece, length(v.piece) AS l,
+           ROW_NUMBER() OVER (PARTITION BY s.word, s.pos
+                              ORDER BY length(v.piece) DESC) AS rn
+    FROM seg s JOIN vocab v
+      ON v.kind = CASE WHEN s.pos = 1 THEN 'init' ELSE 'cont' END
+     AND v.piece = substr(s.word, s.pos, length(v.piece))
+    WHERE s.pos <= length(s.word)
+  ) WHERE rn = 1
+),
+fin AS MATERIALIZED (
+  SELECT word, seg, np FROM seg WHERE pos = length(word) + 1
+),
+docw AS (
+  SELECT doc_id, unnest(arr) AS word,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+)
+SELECT doc_id, CAST(SUM(f.np) AS BIGINT) AS n_wp_tokens,
+       ('0x' || substr(md5(string_agg(f.seg, ' ' ORDER BY d.pos)), 1, 15))::BIGINT
+         AS seg_hash
+FROM docw d JOIN fin f ON f.word = d.word
+GROUP BY doc_id
+"""
+)
+
+
 def _bpe_train(spark, sf):
     """Learn BPE merges on the document corpus (distributed pair-count
     argmax per rank; functions/bpe.py). Output = the merge table
@@ -5380,6 +5506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
         "bpe_train": _bpe_train,
+        "wordpiece_vocab": _wordpiece_vocab,
+        "wordpiece_tokenize": _wordpiece_tokenize,
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
         "lm_bigram_score": _lm_bigram_score,
@@ -5509,6 +5637,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,
         "bpe_train": _BPE_TRAIN_SQL,
+        "wordpiece_vocab": _WP_VOCAB_SQL,
+        "wordpiece_tokenize": _WP_TOKENIZE_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,

@@ -142,6 +142,7 @@ def main() -> int:
         "semantic_dedup",
         "temperature_mixture",
         "quality_gate",
+        "wordpiece_tokenize",
     ]
     for name in bench_queries:
         t0 = time.time()
