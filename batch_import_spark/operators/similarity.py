@@ -690,6 +690,8 @@ def ivf_pq_topk(
                 for m in range(m_sub)
             ]
             probe_rows.append((r.query_id, cell, qdist))
+    # integer query ids by contract (matches the corpus id space);
+    # a string-keyed caller should map ids before/after
     probes = spark.createDataFrame(
         probe_rows, "query_id long, cell int, qdist array<array<long>>"
     )

@@ -30,6 +30,24 @@ def test_round5_query_plan_shapes(spark):
         p = plan_of(name)
         assert "NestedLoop" not in p and "Cartesian" not in p, name
 
+    for name in (
+        "quality_gate",
+        "wordpiece_tokenize",
+        "sft_pairs",
+    ):
+        p = plan_of(name)
+        assert "NestedLoop" not in p and "CartesianProduct" not in p, name
+    # temperature_mixture carries the ONE sanctioned cross join: the
+    # broadcast single-row Σw scalar (same pattern as modularity) —
+    # assert it is exactly that, not a real product
+    p = plan_of("temperature_mixture")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    # semantic_dedup's only cartesian-free exception: none — its pair
+    # stage must be a cell-keyed equi-join, never an all-pairs product
+    p = plan_of("semantic_dedup")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
     # pii redaction is a pure codegen regex chain: zero shuffles
     assert "Exchange" not in plan_of("pii_redact")
 
