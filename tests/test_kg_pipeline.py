@@ -191,3 +191,58 @@ def test_incremental_merge_equals_full_rebuild(spark):
     assert b.exceptAll(a).count() == 0
     assert merged.agg(F.sum("n_occurrences")).collect()[0][0] == \
         full.agg(F.sum("n_occurrences")).collect()[0][0]
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """BASELINE input_hint's per-row invariant, pinned explicitly: the
+    pipeline's input handling (salted repartition on (conv_id,
+    turn_idx)) preserves per-turn text EXACTLY — same (conv_id,
+    turn_idx) -> text bijection as the source at any parallelism —
+    and sorting by the stable (conv_id, turn_idx) key recovers the
+    original per-conversation turn sequence."""
+    from batch_import_spark.pipeline.kg import salted_repartition
+    from batch_import_spark.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=50, median_turns=8, hot_factor=10)
+    src = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in t.select("conv_id", "turn_idx", "text").collect()
+    }
+    for parts in (3, 17):
+        got = {
+            (r.conv_id, r.turn_idx): r.text
+            for r in salted_repartition(t, parts, "conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", "text")
+            .collect()
+        }
+        assert got == src, f"text corrupted/lost at {parts} partitions"
+    # stable ordering: per-conversation sequences identical after the
+    # shuffle when sorted by the stable key
+    re_sorted = (
+        salted_repartition(t, 13, "conv_id", "turn_idx")
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\x1f",
+            ).alias("seq")
+        )
+    )
+    orig = (
+        t.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\x1f",
+            ).alias("seq")
+        )
+    )
+    a = {r.conv_id: r.seq for r in re_sorted.collect()}
+    b = {r.conv_id: r.seq for r in orig.collect()}
+    assert a == b
