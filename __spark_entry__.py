@@ -5215,6 +5215,69 @@ FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
 """
 
 
+def _pq_recall_audit(spark, sf):
+    """Approximation-quality audit as a first-class query: IVF-PQ's
+    top-5 against the exact cosine top-5, per query — n_hits and
+    recall_ppm. Run alongside the ANN itself so a pipeline SEES its
+    approximation error instead of assuming it (uniform random
+    embeddings are PQ's worst case; recall here is the honest floor,
+    not the clustered-corpus number the pytest also pins)."""
+    from batch_import_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).select("query_id", "vec_id")
+    pq = ivf_pq_topk(
+        emb, q, n_cells=16, n_probe=4, m_sub=8, k_codes=16, k=5,
+        refine_iters=0,
+    ).select("query_id", "vec_id")
+    hits = (
+        pq.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, ["query_id"], "left")
+        .na.fill(0, ["n_hits"])
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 1000000L) div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+_PQ_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({_ANN_SQL.strip()})
+),
+pq AS (
+  SELECT query_id, vec_id FROM ({_ivf_pq_oracle_sql().strip()})
+),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN pq ON pq.query_id = e.query_id AND pq.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+       CAST((COALESCE(MAX(h.n_hits), 0) * 1000000) // COUNT(*) AS BIGINT)
+         AS recall_ppm
+FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+GROUP BY e.query_id
+"""
+
+
 def _embed_near_dups(spark, sf):
     """Embedding-cosine near-dup detection over a corpus with planted
     duplicates (the raw table's max pairwise cosine is ~0.51, so
@@ -5573,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "ivf_pq_topk": _ivf_pq,
+        "pq_recall_audit": _pq_recall_audit,
         "embed_near_dups": _embed_near_dups,
         "semantic_dedup": _semantic_dedup,
         "corpus_curation": _corpus_curation,
@@ -5703,6 +5767,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_oracle_sql(),
+        "pq_recall_audit": _PQ_RECALL_SQL,
         "embed_near_dups": _embed_near_dups_oracle_sql(),
         "semantic_dedup": _SEMDEDUP_SQL,
         "corpus_curation": _corpus_curation_oracle_sql(),

@@ -115,3 +115,19 @@ def test_refinement_does_not_break_and_stays_integer(spark):
     assert len(got) == 10
     assert all(r.vec_id % 10 == r.query_id % 10 for r in got)
     assert all(r.adc_dist >= 0 for r in got)
+
+
+def test_pq_recall_audit_consistent_with_direct_measurement(spark):
+    """The audit query's recall agrees with measuring the two
+    operators directly, and is non-vacuous in both directions (some
+    hits, some misses on the random fixture)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["pq_recall_audit"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.n_exact == 5 for r in rows)
+    assert all(r.recall_ppm == (r.n_hits * 1_000_000) // 5 for r in rows)
+    total_hits = sum(r.n_hits for r in rows)
+    assert 0 < total_hits < 25  # neither perfect nor empty
