@@ -1095,6 +1095,85 @@ FROM j
 _QUALITY_GATE_SQL = _quality_gate_sql()
 
 
+def _vocab_growth(spark, sf):
+    """Heaps-law type-token growth curve: distinct vocabulary after
+    each corpus decile (doc_id order), at the word-BIGRAM grain —
+    the fixture's unigram vocabulary saturates in the first decile,
+    so bigrams are the grain where the curve (and the new-types
+    column) is non-trivial. The curve is what corpus collectors
+    watch to decide whether more crawl still adds novelty.
+
+    Shape: one explode + min-groupBy for first occurrence (map-side
+    combinable), then a 10-row broadcast decile grid — the cross
+    joins are the sanctioned broadcast-tiny/scalar kind."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fd = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    dec = d.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    counts = (
+        fd.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(dec))
+        .where(F.expr("fdoc < (nd * decile) div 10"))
+        .groupBy("decile", "nd")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    w = Window.orderBy("decile")
+    return counts.select(
+        "decile",
+        F.expr("(nd * decile) div 10").alias("n_docs"),
+        "vocab_size",
+        (F.col("vocab_size") - F.coalesce(F.lag("vocab_size").over(w), F.lit(0)))
+        .cast("long")
+        .alias("new_types"),
+    )
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1, 1)) AS i
+        FROM tk WHERE len(t) >= 2)
+),
+fd AS (SELECT gg, MIN(doc_id) AS fdoc FROM g GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+c AS (
+  SELECT d.d AS decile, n.nd,
+         CAST(SUM(CASE WHEN fdoc < (n.nd * d.d) // 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS vocab_size
+  FROM fd CROSS JOIN n CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
+  GROUP BY 1, 2
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST((nd * decile) // 10 AS BIGINT) AS n_docs,
+       vocab_size,
+       CAST(vocab_size - COALESCE(LAG(vocab_size) OVER (ORDER BY decile), 0)
+            AS BIGINT) AS new_types
+FROM c
+"""
+
+
 def _temperature_mixture(spark, sf):
     """Temperature-scaled domain-mixture weights (operators/
     sampling.py temperature_mixture): per-source sampling shares
@@ -5565,6 +5644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _pii_redact,
         "quality_gate": _quality_gate,
         "temperature_mixture": _temperature_mixture,
+        "vocab_growth": _vocab_growth,
         "crossdoc_substring_removal": _crossdoc_substring_removal,
         "text_fingerprint": _text_fingerprint,
         "extract_regex": _extract_regex,
@@ -5697,6 +5777,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_REDACT_SQL,
         "quality_gate": _QUALITY_GATE_SQL,
         "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
+        "vocab_growth": _VOCAB_GROWTH_SQL,
         "crossdoc_substring_removal": _CROSSDOC_SQL,
         "text_fingerprint": _FP_SQL,
         "extract_regex": _EXTRACT_SQL,

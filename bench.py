@@ -143,6 +143,7 @@ def main() -> int:
         "temperature_mixture",
         "quality_gate",
         "wordpiece_tokenize",
+        "vocab_growth",
     ]
     for name in bench_queries:
         t0 = time.time()
