@@ -1095,6 +1095,83 @@ FROM j
 _QUALITY_GATE_SQL = _quality_gate_sql()
 
 
+def _stream_quality_screen(spark, sf):
+    """The quality gate applied AT LANDING TIME: the same keep/drop
+    decision as `quality_gate`, but as a streaming narrow map over a
+    bounded replay of the documents table — fully STATELESS (PII
+    regex chain + row-local top-gram expression, no explode/groupBy),
+    so it needs no watermark, no state store, and composes in front
+    of any ingest. Bit parity with the batch gate is the oracle: the
+    output rows equal `quality_gate`'s exactly
+    (repetition.top_gram_mass_cols replicates the groupBy argmax's
+    count-DESC/gram-ASC rule row-locally)."""
+    import os
+    import tempfile
+
+    from batch_import_spark.operators.pii import pii_columns
+    from batch_import_spark.operators.repetition import top_gram_mass_cols
+
+    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_quality_docs_")
+    os.symlink(
+        os.path.abspath(f"{sf}/documents.parquet"),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
+    planted = stream.select(
+        "doc_id",
+        _pii_planted_text(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    mass, chars = top_gram_mass_cols("text", n=2)
+    _counts, n_pii, _red = pii_columns("text")
+    base = planted.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_pii,
+        mass.alias("_mass"),
+        chars.alias("_chars"),
+    ).where(F.col("n_tokens") > 0)
+    scored = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_pii",
+        F.expr("coalesce((_mass * 1000000L) div _chars, 0L)").alias(
+            "top2_gram_ppm"
+        ),
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("n_pii") >= 2, F.lit("pii_heavy")),
+            F.when(F.col("top2_gram_ppm") >= 120000, F.lit("repetitive")),
+            F.when(F.col("n_tokens") < 30, F.lit("too_short")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_pii",
+        "top2_gram_ppm",
+        F.concat_ws(",", reasons).alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_quality_screen_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_quality_screen_out")
+
+
+_STREAM_QUALITY_SQL = _QUALITY_GATE_SQL
+
+
 def _vocab_growth(spark, sf):
     """Heaps-law type-token growth curve: distinct vocabulary after
     each corpus decile (doc_id order), at the word-BIGRAM grain —
@@ -5643,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_screen": _repetition_screen,
         "pii_redact": _pii_redact,
         "quality_gate": _quality_gate,
+        "stream_quality_screen": _stream_quality_screen,
         "temperature_mixture": _temperature_mixture,
         "vocab_growth": _vocab_growth,
         "crossdoc_substring_removal": _crossdoc_substring_removal,
@@ -5776,6 +5854,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_screen": _REPETITION_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "quality_gate": _QUALITY_GATE_SQL,
+        "stream_quality_screen": _STREAM_QUALITY_SQL,
         "temperature_mixture": _TEMPERATURE_MIXTURE_SQL,
         "vocab_growth": _VOCAB_GROWTH_SQL,
         "crossdoc_substring_removal": _CROSSDOC_SQL,

@@ -47,6 +47,21 @@ def _count(col: Column, pattern: str) -> Column:
     )
 
 
+def pii_columns(text_col: str = "text") -> tuple[list[Column], Column, Column]:
+    """The detection/redaction logic as COLUMN expressions —
+    (per-kind count columns, total count, redacted text) — so any
+    projection (including a stateless streaming narrow map) can embed
+    the screen without a DataFrame boundary."""
+    cur = F.col(text_col)
+    counts, total = [], None
+    for kind, pattern, token in PII_PATTERNS:
+        c = F.coalesce(_count(cur, pattern), F.lit(0))
+        counts.append(c.alias(f"n_{kind}"))
+        total = c if total is None else total + c
+        cur = F.regexp_replace(cur, pattern, token)
+    return counts, total.alias("n_pii"), cur.alias("redacted")
+
+
 def redact_pii(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -58,21 +73,5 @@ def redact_pii(
     NULL text passes through as NULL with zero counts (count of NULL
     is 0, not NULL — a missing doc has no PII).
     """
-    cur = F.col(text_col)
-    counts = []
-    for kind, pattern, token in PII_PATTERNS:
-        counts.append(
-            F.coalesce(_count(cur, pattern), F.lit(0)).alias(f"n_{kind}")
-        )
-        cur = F.regexp_replace(cur, pattern, token)
-    out = docs.select(F.col(id_col), *counts, cur.alias("redacted"))
-    total = None
-    for kind, _, _ in PII_PATTERNS:
-        c = F.col(f"n_{kind}")
-        total = c if total is None else total + c
-    return out.select(
-        id_col,
-        *[f"n_{kind}" for kind, _, _ in PII_PATTERNS],
-        total.alias("n_pii"),
-        "redacted",
-    )
+    counts, total, redacted = pii_columns(text_col)
+    return docs.select(F.col(id_col), *counts, total, redacted)

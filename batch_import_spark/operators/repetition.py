@@ -185,3 +185,31 @@ def repetition_screen(
         )
     )
     return out.select(*sel)
+
+
+def top_gram_mass_cols(
+    text_col: str = "text", n: int = 2
+) -> tuple[Column, Column]:
+    """Row-local (stateless) twin of the top-n-gram statistic:
+    (best_mass, chars) columns computed entirely with higher-order
+    functions — no explode, no groupBy — so the screen runs inside a
+    streaming narrow map. Same argmax rule as repetition_screen
+    (count DESC, gram ASC) for bit parity with the batch oracle:
+    max-of-(count·len) would pick a different gram when a longer,
+    rarer gram out-masses the most frequent one. O(k²) per row in
+    the gram count, bounded by document length — the price of
+    statelessness."""
+    toks = _tokens(F.col(text_col))
+    grams = _word_grams(toks, n)
+    cnt = lambda g: F.size(F.filter(grams, lambda x: x == g)).cast("long")
+    best = F.array_min(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct((-cnt(g)).alias("negc"), g.alias("g")),
+        )
+    )
+    mass = F.when(
+        best.isNotNull(), (-best["negc"]) * F.length(best["g"])
+    ).otherwise(F.lit(0)).cast("long")
+    chars = F.length(F.array_join(toks, " ")).cast("long")
+    return mass, chars

@@ -136,3 +136,20 @@ def test_quality_gate_reasons_non_vacuous(spark):
         assert any(reason in s for s in all_reasons), reason
         assert any(reason not in s for s in all_reasons), reason
     assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+
+
+def test_stream_quality_screen_equals_batch_gate(spark):
+    """The landing-time streaming screen is bit-identical to the
+    batch quality_gate (the stateless row-local twin contract)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.doc_id: (r.n_tokens, r.n_pii, r.top2_gram_ppm, r.reasons, r.keep)
+        for r in entry.queries()["quality_gate"](spark, sf).collect()
+    }
+    stream = {
+        r.doc_id: (r.n_tokens, r.n_pii, r.top2_gram_ppm, r.reasons, r.keep)
+        for r in entry.queries()["stream_quality_screen"](spark, sf).collect()
+    }
+    assert stream == batch
