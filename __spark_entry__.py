@@ -5309,7 +5309,7 @@ def _semantic_dedup(spark, sf):
     from batch_import_spark.operators.semdedup import semantic_dedup
 
     return semantic_dedup(
-        _planted_embed_corpus(spark, sf), n_cells=16, threshold=0.95
+        _planted_embed_corpus(spark, sf), n_cells=64, threshold=0.95
     )
 
 
@@ -5331,7 +5331,7 @@ cent AS MATERIALIZED (
          CASE WHEN sqrt(list_dot_product(e, e)) > 0
               THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
               ELSE e END AS v
-  FROM c ORDER BY vec_id LIMIT 16
+  FROM c ORDER BY vec_id LIMIT 64
 ),
 assign AS MATERIALIZED (
   SELECT vec_id, e, cell FROM (

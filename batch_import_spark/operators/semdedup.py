@@ -65,6 +65,11 @@ def semantic_dedup(
     c = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("cell", _nearest_cell("v", centroids))
+    # materialize the assignment once: the small/big split and the two
+    # pair-join sides each re-derive this subplan otherwise, running
+    # the argmax-dot centroid scan ~4x (at production scale the
+    # assignment table is persisted storage anyway)
+    c = c.localCheckpoint(eager=False)
     sizes = c.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
     c = c.join(F.broadcast(sizes), "cell")
     small = c.where(F.col("n_cell") <= max_cell)
