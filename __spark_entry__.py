@@ -1203,12 +1203,26 @@ def _vocab_growth(spark, sf):
     dec = d.sparkSession.range(1, 11).select(
         F.col("id").cast("int").alias("decile")
     )
-    counts = (
+    hits = (
         fd.crossJoin(F.broadcast(nd))
         .crossJoin(F.broadcast(dec))
         .where(F.expr("fdoc < (nd * decile) div 10"))
-        .groupBy("decile", "nd")
+        .groupBy("decile")
         .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    # left-join the full decile grid so a decile with zero cumulative
+    # vocab still emits a row (vocab_size 0) — keeps the row set
+    # fixed at 10 even on degenerate corpora
+    counts = (
+        dec.crossJoin(F.broadcast(nd))
+        .join(hits, "decile", "left")
+        .select(
+            "decile",
+            "nd",
+            F.coalesce("vocab_size", F.lit(0).cast("long")).alias(
+                "vocab_size"
+            ),
+        )
     )
     w = Window.orderBy("decile")
     return counts.select(
@@ -1235,12 +1249,18 @@ g AS (
 ),
 fd AS (SELECT gg, MIN(doc_id) AS fdoc FROM g GROUP BY 1),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
-c AS (
-  SELECT d.d AS decile, n.nd,
-         CAST(SUM(CASE WHEN fdoc < (n.nd * d.d) // 10 THEN 1 ELSE 0 END)
-              AS BIGINT) AS vocab_size
+hits AS (
+  SELECT d.d AS decile, CAST(COUNT(*) AS BIGINT) AS vocab_size
   FROM fd CROSS JOIN n CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
-  GROUP BY 1, 2
+  WHERE fdoc < (n.nd * d.d) // 10
+  GROUP BY 1
+),
+-- full decile grid LEFT JOIN: always 10 rows, matching the Spark side
+c AS (
+  SELECT d.d AS decile, n.nd, COALESCE(hits.vocab_size, 0) AS vocab_size
+  FROM (SELECT unnest(generate_series(1, 10)) AS d) d
+  CROSS JOIN n
+  LEFT JOIN hits ON hits.decile = d.d
 )
 SELECT CAST(decile AS INT) AS decile,
        CAST((nd * decile) // 10 AS BIGINT) AS n_docs,

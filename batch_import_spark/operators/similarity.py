@@ -439,6 +439,13 @@ def pq_codebook_from_corpus(
         .limit(skip + k_codes)
         .collect()
     )[skip:]
+    if len(rows) != k_codes:
+        raise ValueError(
+            f"pq_codebook_from_corpus: corpus has fewer than "
+            f"skip + k_codes = {skip} + {k_codes} rows "
+            f"(got {len(rows)} after the skip slice); a full codebook "
+            f"needs at least {skip + k_codes} vectors"
+        )
     dim = len(centroids[0])
     ds = dim // m_sub
     qcents = [[_math.floor(x * scale) for x in cv] for cv in centroids]

@@ -37,6 +37,30 @@ def test_hand_cases(spark):
     assert (out[6].n_pii, out[6].redacted) == (0, None)
 
 
+def test_phone_boundary_cases(spark):
+    """The phone pattern is start-anchored with explicitly paired
+    parens: the tail of a longer digit run must NOT match, and an
+    unpaired '(' must never be consumed into the match."""
+    df = spark.createDataFrame(
+        [
+            (0, "id 1234-567-8901 is not a phone"),
+            (1, "call (415 555 1234 now"),
+            (2, "call (415) 555 1234 now"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    # suffix of a 4-digit-led run: no match at all
+    assert out[0].n_phone == 0
+    assert out[0].redacted == "id 1234-567-8901 is not a phone"
+    # unpaired '(': the bare digit form still matches, paren left out
+    assert out[1].n_phone == 1
+    assert out[1].redacted == "call (<PHONE> now"
+    # properly paired parens: whole thing matches
+    assert out[2].n_phone == 1
+    assert out[2].redacted == "call <PHONE> now"
+
+
 def test_zero_false_negatives_on_planted_corpus(spark):
     """Every planted PII string in the registry fixture is detected,
     and the redacted output contains no residual pattern match."""

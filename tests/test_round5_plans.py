@@ -55,5 +55,15 @@ def test_round5_query_plan_shapes(spark):
     # output carries the codes array and the post-join projection has
     # no embedding column
     p = plan_of("ivf_pq_topk")
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" not in p
+    # two INDEPENDENT guards (the old `or` was tautological): the
+    # probe join must be a broadcast hash join, and no nested-loop
+    # join may appear anywhere in the plan
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoop" not in p
     assert "codes" in p
+    # the candidate shuffle ships codes only — no raw embedding
+    # column may cross an Exchange (the scan may read it; the
+    # shuffle must not carry it)
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line, line

@@ -117,6 +117,23 @@ def test_refinement_does_not_break_and_stays_integer(spark):
     assert all(r.adc_dist >= 0 for r in got)
 
 
+def test_codebook_raises_on_tiny_corpus(spark):
+    """A corpus smaller than skip + k_codes can't seed a full
+    codebook: a clear ValueError naming the minimum size, not a
+    silent short book that IndexErrors downstream."""
+    import pytest
+
+    from batch_import_spark.operators.similarity import (
+        ivf_seed_centroids,
+        pq_codebook_from_corpus,
+    )
+
+    tiny = _clustered_corpus(spark, n_clusters=4, per_cluster=2, dim=16)
+    cents = ivf_seed_centroids(tiny, 4)
+    with pytest.raises(ValueError, match="skip \\+ k_codes"):
+        pq_codebook_from_corpus(tiny, cents, m_sub=4, k_codes=16, skip=4)
+
+
 def test_pq_recall_audit_consistent_with_direct_measurement(spark):
     """The audit query's recall agrees with measuring the two
     operators directly, and is non-vacuous in both directions (some
