@@ -24,31 +24,128 @@ sizes squared — n_cells is chosen ~sqrt(N) (paper uses ~100k
 clusters at web scale) to keep cells bounded, and ``max_cell``
 documents the guard: cells larger than it are skipped and counted
 rather than allowed to go quadratic (hot-bucket-cap discipline,
-default ON like dedup.py).
+default ON like dedup.py). The default cap keeps the worst-case
+per-cell pair volume (max_cell²/2 rows, all produced by the ONE task
+that owns that cell's join key) at ~2e6 scalar rows — bounded CPU,
+bounded memory, nothing collected.
 
-The greedy keep-first scan inside a cell is a per-cell sequential
-rule; it is evaluated with one aggregate over the cell's id-sorted
-pair list (collect per cell is bounded by max_cell — same
-bounded-by-contract justification as the other capped operators).
+The greedy verdict is computed as a distributed fixed point, never a
+per-cell collect: greedy keep-first-by-id is exactly the
+lexicographically-first maximal independent set of the duplicate-pair
+graph, and that set satisfies a local rule — a vector is KEPT iff
+every lower-id neighbour is dropped, DROPPED iff some lower-id
+neighbour is kept. Iterating that rule level-wise (Blelloch et al.
+2012 show greedy MIS has O(log n) dependence depth w.h.p.) decides a
+clique-shaped duplicate group in one round and an id-monotone chain of
+depth d in d rounds; every round is one scalar-pair join, so the
+pathological mass-duplicate cell (the exact scenario semantic dedup
+exists for) costs 2 rounds, not an O(n²) single-row array fold.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from batch_import_spark.operators.similarity import (
     _nearest_cell,
-    cosine,
     ivf_seed_centroids,
 )
+
+log = logging.getLogger(__name__)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _greedy_keepers(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Exact greedy keep-first verdict over a duplicate-pair graph.
+
+    ``pairs``: (ia, ib) with ia < ib (similarity edges); ``nodes``:
+    (id). Returns (id, dup_of) for every DROPPED node, dup_of = the
+    lowest-id kept neighbour — byte-identical to folding the pairs in
+    (ib, ia) order, without ever gathering a cell into one row.
+
+    Fixed-point iteration on a status frame (K kept / D dropped /
+    U undecided): a U node with a kept lower neighbour → D; with no
+    kept and no undecided lower neighbour → K. Sound by induction and
+    complete (the smallest undecided node always decides), so the loop
+    terminates in at most the duplicate graph's dependence depth —
+    1-2 rounds on real near-duplicate structure. Each round
+    materializes only the O(n) status frame (localCheckpoint) and
+    re-joins the materialized scalar pair list; ``dup_of`` is
+    re-derived exactly at the end (min kept neighbour) so eager drops
+    inside the loop can never mint a wrong witness.
+    """
+    # lazy checkpoints: the first round's materialization job computes
+    # pair list + initial status in one pass instead of three separate
+    # driver-blocking jobs — the loop body is the only action
+    pairs = pairs.select("ia", "ib").localCheckpoint(eager=False)
+    targets = pairs.select(F.col("ib").alias("id")).distinct()
+    status = nodes.join(targets, "id", "left_anti").select(
+        "id", F.lit("K").alias("st")
+    ).unionAll(targets.select("id", F.lit("U").alias("st")))
+    status = status.localCheckpoint(eager=False)
+
+    for _ in range(max_rounds):
+        nbr = (
+            pairs.join(
+                status.select(F.col("id").alias("ia"), F.col("st").alias("sta")),
+                "ia",
+            )
+            .join(
+                status.select(F.col("id").alias("ib"), F.col("st").alias("stb")),
+                "ib",
+            )
+            .where(F.col("stb") == "U")
+            .groupBy("ib")
+            .agg(
+                F.max(F.col("sta") == "K").alias("has_kept"),
+                F.max(F.col("sta") == "U").alias("has_und"),
+            )
+        )
+        nxt = status.join(
+            nbr.select(F.col("ib").alias("id"), "has_kept", "has_und"),
+            "id",
+            "left",
+        ).select(
+            "id",
+            F.when(F.col("st") != "U", F.col("st"))
+            .when(F.coalesce("has_kept", F.lit(False)), F.lit("D"))
+            .when(F.coalesce("has_und", F.lit(False)), F.lit("U"))
+            .otherwise(F.lit("K"))
+            .alias("st"),
+        )
+        status = nxt.localCheckpoint(eager=True)
+        # checked AFTER the sweep: real duplicate structure decides in
+        # 1-2 rounds, and the check on a just-materialized frame is a
+        # block scan, not a recompute
+        if status.where(F.col("st") == "U").isEmpty():
+            break
+    else:  # pragma: no cover - depth bound exceeded, not a real graph
+        raise RuntimeError(
+            f"_greedy_keepers did not converge in {max_rounds} rounds"
+        )
+
+    kept = status.where(F.col("st") == "K").select(F.col("id").alias("ia"))
+    return (
+        pairs.join(kept, "ia")
+        .groupBy("ib")
+        .agg(F.min("ia").alias("dup_of"))
+        .select(F.col("ib").alias("id"), "dup_of")
+    )
 
 
 def semantic_dedup(
     corpus: DataFrame,
     n_cells: int = 16,
     threshold: float = 0.95,
-    max_cell: int = 10_000,
+    max_cell: int = 2_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -60,68 +157,69 @@ def semantic_dedup(
     than ``max_cell`` are passed through with keep=true (counted by
     callers via the cell sizes; never quadratic).
     """
-    if centroids is None:
-        centroids = ivf_seed_centroids(corpus, n_cells, id_col, vec_col)
-    c = corpus.select(
+    # materialize the input projection BEFORE centroid seeding:
+    # ivf_seed_centroids takes one pass and the assignment another —
+    # without this the (possibly expensive) upstream corpus plan runs
+    # twice end-to-end
+    base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("cell", _nearest_cell("v", centroids))
+    ).localCheckpoint(eager=False)
+    if centroids is None:
+        centroids = ivf_seed_centroids(base, n_cells, "id", "v")
+    c = base.withColumn("cell", _nearest_cell("v", centroids))
+    # norm once per row here, not once per PAIR in the self-join: the
+    # pair filter then evaluates one dot product instead of three
+    # (same IEEE steps the oracle takes — sqrt per side, multiply,
+    # divide — so the cosine bits are unchanged)
+    c = c.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     # materialize the assignment once: the small/big split and the two
     # pair-join sides each re-derive this subplan otherwise, running
     # the argmax-dot centroid scan ~4x (at production scale the
     # assignment table is persisted storage anyway)
     c = c.localCheckpoint(eager=False)
-    sizes = c.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
-    c = c.join(F.broadcast(sizes), "cell")
-    small = c.where(F.col("n_cell") <= max_cell)
-    big = c.where(F.col("n_cell") > max_cell)
+    # the size table is ≤ n_cells rows by construction — collect it
+    # and split small/big with a literal filter instead of rebuilding
+    # a broadcast join in all four frames that derive from the split
+    sizes = c.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell")).collect()
+    big_cells = sorted(r.cell for r in sizes if r.n_cell > max_cell)
+    if big_cells:
+        log.warning(
+            "semantic_dedup: %d cell(s) over max_cell=%d passed through "
+            "un-deduped (largest %d members)",
+            len(big_cells),
+            max_cell,
+            max(r.n_cell for r in sizes),
+        )
+        small = c.where(~F.col("cell").isin(big_cells))
+        big = c.where(F.col("cell").isin(big_cells))
+    else:
+        small, big = c, c.where(F.lit(False))
 
-    a = small.select("cell", F.col("id").alias("ia"), F.col("v").alias("va"))
-    b = small.select("cell", F.col("id").alias("ib"), F.col("v").alias("vb"))
+    a = small.select(
+        "cell",
+        F.col("id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = small.select(
+        "cell",
+        F.col("id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.when(
+        F.col("na") * F.col("nb") > 0,
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(0.0))
     pairs = (
         a.join(b, "cell")
         .where(F.col("ia") < F.col("ib"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(F.round(cos, 6) >= threshold)
         .select("cell", "ia", "ib")
     )
-    # greedy keep-first by id: fold the cell's duplicate-pair list in
-    # id order — ib is dropped iff its witness ia was itself kept.
-    # One groupBy per cell over scalar pairs; bounded by max_cell².
-    folded = pairs.groupBy("cell").agg(
-        F.sort_array(F.collect_list(F.struct("ib", "ia"))).alias("ps")
-    )
-    dropped = folded.select(
-        "cell",
-        F.explode(
-            F.aggregate(
-                F.col("ps"),
-                F.struct(
-                    F.array().cast("array<long>").alias("gone"),
-                    F.array()
-                    .cast("array<struct<ib:long,ia:long>>")
-                    .alias("out"),
-                ),
-                lambda acc, p: F.struct(
-                    F.when(
-                        ~F.array_contains(acc["gone"], p["ia"])
-                        & ~F.array_contains(acc["gone"], p["ib"]),
-                        F.concat(acc["gone"], F.array(p["ib"])),
-                    )
-                    .otherwise(acc["gone"])
-                    .alias("gone"),
-                    F.when(
-                        ~F.array_contains(acc["gone"], p["ia"])
-                        & ~F.array_contains(acc["gone"], p["ib"]),
-                        F.concat(acc["out"], F.array(p)),
-                    )
-                    .otherwise(acc["out"])
-                    .alias("out"),
-                ),
-                lambda acc: acc["out"],
-            )
-        ).alias("d"),
-    ).select(
-        F.col("d.ib").alias("id"), F.col("d.ia").alias("dup_of")
-    )
+    # the cell key never feeds the verdict (cells partition the graph,
+    # ids are globally unique) — the fixed point runs cell-oblivious
+    dropped = _greedy_keepers(pairs, small.select("id"))
 
     verdict = (
         small.select("id", "cell")

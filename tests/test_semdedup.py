@@ -63,6 +63,66 @@ def test_chain_greedy_order(spark):
     assert got[3] == (True, None)
 
 
+def test_pathological_mass_duplicate_cell(spark):
+    """The SemDeDup raison d'être case: one cell full of near-identical
+    vectors (mass-duplicated boilerplate embeddings). 2000 scaled
+    copies of one vector form a 2e6-edge clique; the level-wise fixed
+    point must decide it in ~2 rounds — keep exactly the lowest id,
+    every other row dropped with dup_of = that id — without ever
+    gathering the pair list into one row."""
+    base = _vec(4)
+    # ids 0, 2..2000: colinear clique (2000 members); id 1: a distinct
+    # direction so the two id-seeded centroids are not colinear (the
+    # cell assignment would otherwise split the clique on float noise)
+    rows = [(0, base), (1, _vec(9))]
+    rows += [
+        (i, [(1.0 + 0.0001 * (i % 7)) * x for x in base])
+        for i in range(2, 2001)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_cells=2, threshold=0.95).collect()
+    assert len(out) == 2001
+    got = {r.vec_id: (r.keep, r.dup_of) for r in out}
+    assert got[0] == (True, None)
+    assert got[1][0] is True
+    for i in range(2, 2001):
+        assert got[i] == (False, 0), i
+
+
+def test_long_chain_converges_beyond_two_levels(spark):
+    """A 5-deep id-monotone similarity chain v1~v2~...~v5 (no skip
+    edges): greedy alternates keep/drop — the fixed point needs >2
+    rounds and must still match the sequential rule exactly."""
+    import math
+
+    import numpy as np
+
+    base = _vec(3)
+    n = math.sqrt(sum(x * x for x in base))
+    u = np.array([x / n for x in base])
+    rng = [math.cos(1.7 + 0.31 * i) for i in range(16)]
+    v = np.array(rng) - np.dot(rng, u) * u
+    v = v / np.linalg.norm(v)
+    theta = 0.28  # cos(theta)~0.961 >= t, cos(2*theta)~0.847 < t
+    vecs = [
+        (math.cos(k * theta) * u + math.sin(k * theta) * v).tolist()
+        for k in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, vecs[i]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.keep, r.dup_of) for r in
+           semantic_dedup(df, n_cells=1, threshold=0.95).collect()}
+    # greedy: 1 kept, 2 dropped(1), 3 kept (witness 2 was dropped),
+    # 4 dropped(3), 5 kept
+    assert got[1] == (True, None)
+    assert got[2] == (False, 1)
+    assert got[3] == (True, None)
+    assert got[4] == (False, 3)
+    assert got[5] == (True, None)
+
+
 def test_planted_corpus_components_are_cliques(spark):
     """The closed-form oracle for `semantic_dedup` assumes the planted
     duplicate-pair graph is a union of cliques (diameter <= 2): every
