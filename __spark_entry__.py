@@ -888,6 +888,129 @@ LEFT JOIN d5 USING (doc_id)
 """
 
 
+def _repetition_screen_para(spark, sf):
+    """Paragraph-grain Gopher screens (the rest of Rae et al. 2021
+    Table A1): duplicate-PARAGRAPH fraction + char mass (same line
+    machinery with sep='\\n\\n') and duplicated 6/8/10-gram char
+    mass. Boilerplate paragraphs are planted on every 4th doc (two
+    copies of its own first-12-word prefix), so the paragraph metrics
+    and the long-gram duplicate masses all fire on real rows; the
+    n_lines/dup_line_* output columns read as paragraph counts here."""
+    from batch_import_spark.operators.repetition import repetition_screen
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    para = F.array_join(F.slice(toks, 1, 12), " ")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws("\n\n", F.col("text"), para, para),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_screen(
+        planted, line_sep="\n\n", top_ns=(2,), dup_ns=(6, 8, 10)
+    )
+
+
+_REPETITION_PARA_SQL = r"""
+WITH tk0 AS MATERIALIZED (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t0
+  FROM documents
+),
+planted AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || chr(10) || chr(10) || b || chr(10) || chr(10) || b
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, array_to_string(t0[1:12], ' ') AS b
+        FROM tk0 WHERE text IS NOT NULL)
+),
+base AS MATERIALIZED (
+  SELECT doc_id, text, tkn,
+         CAST(length(array_to_string(tkn, ' ')) AS BIGINT) AS chars
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS tkn
+        FROM planted)
+  WHERE len(tkn) > 0
+),
+lines AS (
+  SELECT doc_id, ln
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS ln
+        FROM base)
+  WHERE trim(ln) <> ''
+),
+pl AS (SELECT doc_id, ln, CAST(COUNT(*) AS BIGINT) AS c FROM lines GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS ndup,
+         CAST(SUM(c * length(ln)) AS BIGINT) AS lchars,
+         CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dchars
+  FROM pl GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id, array_to_string(tkn[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 1, 1)) AS i
+        FROM base WHERE len(tkn) >= 2)
+),
+gc2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2),
+best2 AS (SELECT doc_id, min({'negc': -c, 'g': g}) AS b FROM gc2 GROUP BY 1),
+tm AS (SELECT doc_id, CAST((-b.negc) * length(b.g) AS BIGINT) AS m2 FROM best2),
+g6 AS (
+  SELECT doc_id, array_to_string(tkn[i:i+5], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 5, 1)) AS i
+        FROM base WHERE len(tkn) >= 6)
+),
+d6 AS (
+  SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS dm
+  FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g6 GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY 1
+),
+g8 AS (
+  SELECT doc_id, array_to_string(tkn[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 7, 1)) AS i
+        FROM base WHERE len(tkn) >= 8)
+),
+d8 AS (
+  SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS dm
+  FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g8 GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY 1
+),
+g10 AS (
+  SELECT doc_id, array_to_string(tkn[i:i+9], ' ') AS g
+  FROM (SELECT doc_id, tkn, unnest(generate_series(1, len(tkn) - 9, 1)) AS i
+        FROM base WHERE len(tkn) >= 10)
+),
+d10 AS (
+  SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS dm
+  FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g10 GROUP BY 1, 2)
+  WHERE c > 1 GROUP BY 1
+)
+SELECT b.doc_id, ls.n_lines,
+       CAST((ndup * 1000000) // n_lines AS BIGINT) AS dup_line_ppm,
+       CAST(CASE WHEN lchars > 0 THEN (dchars * 1000000) // lchars
+                 ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+       CAST(coalesce((m2 * 1000000) // chars, 0) AS BIGINT) AS top2_gram_ppm,
+       CAST(coalesce((d6.dm * 1000000) // chars, 0) AS BIGINT) AS dup6_gram_ppm,
+       CAST(coalesce((d8.dm * 1000000) // chars, 0) AS BIGINT) AS dup8_gram_ppm,
+       CAST(coalesce((d10.dm * 1000000) // chars, 0) AS BIGINT) AS dup10_gram_ppm
+FROM base b
+JOIN ls USING (doc_id)
+LEFT JOIN tm USING (doc_id)
+LEFT JOIN d6 USING (doc_id)
+LEFT JOIN d8 USING (doc_id)
+LEFT JOIN d10 USING (doc_id)
+"""
+
+
 def _pii_planted_text(did: Column, text: Column) -> Column:
     """Deterministic PII planting (the sf corpus contains none): every
     doc_id mod-7 class gets a different kind appended, class 4 gets
@@ -5738,6 +5861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
+        "repetition_screen_para": _repetition_screen_para,
         "pii_redact": _pii_redact,
         "quality_gate": _quality_gate,
         "stream_quality_screen": _stream_quality_screen,
@@ -5872,6 +5996,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
+        "repetition_screen_para": _REPETITION_PARA_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "quality_gate": _QUALITY_GATE_SQL,
         "stream_quality_screen": _STREAM_QUALITY_SQL,

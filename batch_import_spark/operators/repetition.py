@@ -72,7 +72,7 @@ def repetition_screen(
     text_col: str = "text",
     line_sep: str = "\n",
     top_ns: tuple[int, ...] = (2, 3, 4),
-    dup_n: int = 5,
+    dup_ns: tuple[int, ...] = (5,),
 ) -> DataFrame:
     """Gopher repetition statistics per document (see module doc).
 
@@ -144,16 +144,28 @@ def repetition_screen(
         ]
     )
 
-    # --- duplicated dup_n-gram mass -----------------------------------------
-    dup_counts = (
-        base.select(
-            F.col(id_col), F.explode(_word_grams(F.col("_tk"), dup_n)).alias("g")
+    # --- duplicated n-gram mass (Gopher runs n = 5..10; callers pick) -------
+    dups_union = None
+    for n in dup_ns:
+        g = base.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(_word_grams(F.col("_tk"), n)).alias("g"),
         )
-        .groupBy(id_col, "g")
+        dups_union = g if dups_union is None else dups_union.unionAll(g)
+    dup_counts = (
+        dups_union.groupBy(id_col, "n", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .where(F.col("c") > 1)
         .groupBy(id_col)
-        .agg(F.sum(F.col("c") * F.length("g")).cast("long").alias("_dup5_mass"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("n") == n, F.col("c") * F.length("g"))
+                ).cast("long").alias(f"_d{n}")
+                for n in dup_ns
+            ]
+        )
     )
 
     out = (
@@ -179,11 +191,12 @@ def repetition_screen(
                 f"top{n}_gram_ppm"
             )
         )
-    sel.append(
-        F.expr(f"coalesce((_dup5_mass * {PPM}L) div _chars, 0L)").alias(
-            f"dup{dup_n}_gram_ppm"
+    for n in dup_ns:
+        sel.append(
+            F.expr(f"coalesce((_d{n} * {PPM}L) div _chars, 0L)").alias(
+                f"dup{n}_gram_ppm"
+            )
         )
-    )
     return out.select(*sel)
 
 

@@ -75,3 +75,35 @@ def test_entry_query_non_vacuous(spark):
     assert any(r.dup_line_ppm == 0 for r in out)
     assert any(r.top2_gram_ppm > 0 for r in out)
     assert any(r.dup5_gram_ppm >= 0 for r in out)
+
+
+def test_paragraph_grain_and_multi_dup_ns(spark):
+    """Paragraph separator + the Gopher 6..10-gram duplicate masses
+    (repetition_screen_para entry shape): a doc of 3 paragraphs with
+    one repeated, whose repeated paragraph also mints duplicated
+    6/8/10-grams."""
+    para = "p q r s t u v w x y"  # 10 tokens, 19 chars
+    text = "alpha beta\n\n" + para + "\n\n" + para
+    df = spark.createDataFrame(
+        [(0, text), (1, "one two three")], "doc_id: long, text: string"
+    )
+    out = {
+        r.doc_id: r
+        for r in repetition_screen(
+            df, line_sep="\n\n", top_ns=(2,), dup_ns=(6, 8, 10)
+        ).collect()
+    }
+    d0 = out[0]
+    assert d0.n_lines == 3
+    assert d0.dup_line_ppm == PPM // 3
+    # tokens: alpha beta + 2x para = 22 tokens; joined chars 10+1+19+1+19=50
+    # dup 6-grams: the 5 six-grams inside para occur twice (11 chars each)
+    assert d0.dup6_gram_ppm == (5 * 2 * 11 * PPM) // 50
+    # dup 8-grams: 3 per para copy, 15 chars each
+    assert d0.dup8_gram_ppm == (3 * 2 * 15 * PPM) // 50
+    # dup 10-grams: exactly the para itself, twice
+    assert d0.dup10_gram_ppm == (2 * 19 * PPM) // 50
+    d1 = out[1]
+    assert (d1.n_lines, d1.dup6_gram_ppm, d1.dup8_gram_ppm, d1.dup10_gram_ppm) == (
+        1, 0, 0, 0,
+    )
