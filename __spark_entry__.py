@@ -1011,6 +1011,97 @@ LEFT JOIN d10 USING (doc_id)
 """
 
 
+_DOMAIN_BLOCKLIST = ["site3.com", "site5.org", "cdn.site2.net"]
+
+
+def _domain_filter(spark, sf):
+    """URL/domain blocklist + per-domain caps (operators/domains.py):
+    the filter every corpus pass runs before text-quality screens.
+    The sf corpus has no URL column, so one is planted from doc_id —
+    scheme, optional userinfo (mod 17), cdn./www. subdomains (mod 5),
+    21 site.tld registrable domains, optional :8080 port (mod 11) —
+    so host extraction, multi-level suffix match (cdn.site2.net only
+    blocks the cdn subdomain), and the 20-per-domain cap all fire on
+    real rows."""
+    from batch_import_spark.operators.domains import domain_filter
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 17 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("cdn."))
+        .when(did % 5 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.lit("site"),
+        (did % 7).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (did % 3).cast("int") + 1,
+        ),
+        F.when(did % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        did.cast("string"),
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", url.alias("url")
+    )
+    bl = spark.createDataFrame(
+        [(s,) for s in _DOMAIN_BLOCKLIST], "suffix: string"
+    )
+    return domain_filter(d, bl, cap=20)
+
+
+_DOMAIN_FILTER_SQL = """
+WITH u AS MATERIALIZED (
+  SELECT doc_id,
+    'https://' ||
+    CASE WHEN doc_id % 17 = 0 THEN 'user:pw@' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN 'cdn.'
+         WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END ||
+    'site' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+    (['com', 'org', 'net'])[CAST(doc_id % 3 AS INT) + 1] ||
+    CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+    '/page/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         lower(regexp_extract(url,
+           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)',
+           1)) AS host
+  FROM u
+),
+d1 AS MATERIALIZED (
+  SELECT doc_id, host,
+         array_to_string(parts[greatest(len(parts) - 1, 1):], '.') AS domain,
+         list_sort(list_filter(
+           list_transform(generate_series(1, len(parts)),
+                          i -> array_to_string(parts[i:], '.')),
+           s -> list_contains(['site3.com', 'site5.org', 'cdn.site2.net'], s)
+         )) AS ms
+  FROM (SELECT doc_id, host, string_split(host, '.') AS parts FROM h)
+),
+d2 AS MATERIALIZED (
+  SELECT doc_id, host, domain,
+         len(ms) > 0 AS blocked,
+         CASE WHEN len(ms) > 0 THEN ms[1] END AS matched
+  FROM d1
+),
+rk AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS r
+  FROM d2 WHERE NOT blocked
+)
+SELECT d2.doc_id, host, domain, blocked,
+       (NOT blocked AND coalesce(r, 0) <= 20) AS keep,
+       CASE WHEN blocked THEN 'blocked:' || matched
+            WHEN r > 20 THEN 'over_cap'
+            ELSE '' END AS reason
+FROM d2 LEFT JOIN rk USING (doc_id)
+"""
+
+
 def _pii_planted_text(did: Column, text: Column) -> Column:
     """Deterministic PII planting (the sf corpus contains none): every
     doc_id mod-7 class gets a different kind appended, class 4 gets
@@ -5862,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
         "repetition_screen_para": _repetition_screen_para,
+        "domain_filter": _domain_filter,
         "pii_redact": _pii_redact,
         "quality_gate": _quality_gate,
         "stream_quality_screen": _stream_quality_screen,
@@ -5997,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
         "repetition_screen_para": _REPETITION_PARA_SQL,
+        "domain_filter": _DOMAIN_FILTER_SQL,
         "pii_redact": _PII_REDACT_SQL,
         "quality_gate": _QUALITY_GATE_SQL,
         "stream_quality_screen": _STREAM_QUALITY_SQL,
