@@ -1227,6 +1227,10 @@ def _quality_gate(spark, sf):
         "doc_id",
         _pii_planted_text(F.col("doc_id"), F.col("text")).alias("text"),
     )
+    # one materialized planted-text scan shared by the three branches
+    # (base/pii/repetition) — each otherwise re-reads the parquet and
+    # re-runs the planting projection end-to-end
+    planted = planted.localCheckpoint(eager=False)
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
     )
