@@ -5512,6 +5512,164 @@ SELECT query_id, vec_id, rank, adc_dist FROM (
 """
 
 
+def _ann_standing_quantizers(spark, sf):
+    """Frozen quantizers trained on the STANDING 80% split (vec_id %
+    10 < 8) only — shared by the batch and streaming incremental-ANN
+    entries so both replay the same index."""
+    from batch_import_spark.operators.similarity import (
+        ivf_seed_centroids,
+        pq_codebook_from_corpus,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    standing = emb.where(F.col("vec_id") % 10 < 8)
+    landing = emb.where(F.col("vec_id") % 10 >= 8)
+    centroids = ivf_seed_centroids(standing, 16)
+    book = pq_codebook_from_corpus(standing, centroids, 8, 16, skip=16)
+    return emb, standing, landing, centroids, book
+
+
+def _ivf_pq_incremental(spark, sf):
+    """Incremental ANN-index maintenance (similarity.py
+    ivf_pq_extend) — the similarity twin of kg_incremental: quantizers
+    (IVF centroids + PQ codebook) are trained on the standing 80% of
+    the corpus and FROZEN; the landing 20% batch is encoded against
+    them and unioned into the standing postings — the standing corpus
+    is never re-quantized. Because encoding is row-local given frozen
+    quantizers, index(standing) + encode(batch) == encode(all): the
+    oracle replays ONE full-corpus encode with standing-trained
+    quantizers, so row equality IS the replay invariant. Output is
+    the postings long form (vec_id, cell, m, code)."""
+    from batch_import_spark.operators.similarity import (
+        ivf_pq_extend,
+        pq_encode,
+    )
+
+    _, standing, landing, centroids, book = _ann_standing_quantizers(spark, sf)
+    index = pq_encode(standing, centroids, book)
+    full = ivf_pq_extend(index, landing, centroids, book)
+    return full.select(
+        "vec_id",
+        "cell",
+        F.posexplode("codes").alias("m", "code"),
+    )
+
+
+def _stream_ann_incremental(spark, sf):
+    """The same incremental fold AT LANDING TIME: the landing 20%
+    arrives as a real two-micro-batch stream (file parity +
+    maxFilesPerTrigger=1) and streaming/ann_incremental.py encodes
+    each batch against the frozen quantizers via foreachBatch,
+    appending to the standing postings. Final state must equal the
+    one-shot full encode — the oracle is the SAME full-corpus SQL as
+    ivf_pq_incremental."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from batch_import_spark.operators.similarity import pq_encode
+    from batch_import_spark.streaming.ann_incremental import (
+        run_incremental_ann,
+    )
+
+    _, standing, landing, centroids, book = _ann_standing_quantizers(spark, sf)
+    index = pq_encode(standing, centroids, book)
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_ann_incr_")
+    import pyarrow as pa
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    land = tbl.filter(pa.array(tbl["vec_id"].to_numpy() % 10 >= 8))
+    parity = pc.bit_wise_and(land["vec_id"], 1)
+    pq.write_table(
+        land.filter(pc.equal(parity, 0)), os.path.join(stream_dir, "b0.parquet")
+    )
+    pq.write_table(
+        land.filter(pc.equal(parity, 1)), os.path.join(stream_dir, "b1.parquet")
+    )
+    stream_vecs = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    final, n_batches = run_incremental_ann(
+        stream_vecs, centroids, book, index=index
+    )
+    assert n_batches == 2, f"expected 2 micro-batches, got {n_batches}"
+    return final.select(
+        "vec_id", "cell", F.posexplode("codes").alias("m", "code")
+    )
+
+
+def _ivf_pq_incremental_sql(
+    dim: int = 64,
+    n_cells: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    scale: int = 1000,
+) -> str:
+    """One full-corpus encode with quantizers trained on the standing
+    split only (vec_id % 10 < 8) — equality with Spark's
+    index(standing) + encode(landing) union is exactly the
+    incremental-maintenance replay invariant."""
+    ds = dim // m_sub
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         CASE WHEN sqrt(list_dot_product(e, e)) > 0
+              THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+              ELSE e END AS v
+  FROM c WHERE vec_id % 10 < 8 ORDER BY vec_id LIMIT {n_cells}
+),
+qcent AS MATERIALIZED (
+  SELECT cell, list_transform(v, x -> CAST(floor(x * {scale}) AS BIGINT)) AS qc
+  FROM cent
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.e, cent.v) DESC, cent.cell ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+rq AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         [CAST(floor(a.e[i] * {scale}) AS BIGINT) - q.qc[i]
+          for i in generate_series(1, {dim})] AS r
+  FROM assign a JOIN qcent q ON q.cell = a.cell
+),
+book AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, r
+  FROM (SELECT vec_id, r FROM rq WHERE vec_id % 10 < 8 ORDER BY vec_id
+        LIMIT {k_codes} OFFSET {n_cells})
+),
+sub AS (SELECT unnest(generate_series(0, {m_sub} - 1)) AS m)
+SELECT vec_id, cell, CAST(m AS INT) AS m, CAST(j AS INT) AS code FROM (
+  SELECT r.vec_id, r.cell, s.m, b.j,
+         row_number() OVER (PARTITION BY r.vec_id, s.m ORDER BY
+           list_sum([ (r.r[s.m * {ds} + i] - b.r[s.m * {ds} + i])
+                      * (r.r[s.m * {ds} + i] - b.r[s.m * {ds} + i])
+                      for i in generate_series(1, {ds})]) ASC,
+           b.j ASC) AS rn
+  FROM rq r CROSS JOIN sub s CROSS JOIN book b
+) WHERE rn = 1
+"""
+
+
 def _planted_embed_corpus(spark, sf):
     """The shared planted-duplicate embedding corpus: raw vectors
     (max pairwise cosine ~0.51) plus, for ids < 15, a x2-scaled copy
@@ -6034,6 +6192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "ivf_pq_topk": _ivf_pq,
+        "ivf_pq_incremental": _ivf_pq_incremental,
+        "stream_ann_incremental": _stream_ann_incremental,
         "pq_recall_audit": _pq_recall_audit,
         "embed_near_dups": _embed_near_dups,
         "semantic_dedup": _semantic_dedup,
@@ -6169,6 +6329,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_oracle_sql(),
+        "ivf_pq_incremental": _ivf_pq_incremental_sql(),
+        "stream_ann_incremental": _ivf_pq_incremental_sql(),
         "pq_recall_audit": _PQ_RECALL_SQL,
         "embed_near_dups": _embed_near_dups_oracle_sql(),
         "semantic_dedup": _SEMDEDUP_SQL,

@@ -558,6 +558,120 @@ def _long_lit_3d(arr: list[list[list[int]]]) -> Column:
     ).cast("array<array<array<bigint>>>")
 
 
+def _pq_residuals(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, rq): IVF cell + quantized integer residual per
+    vector — the encode front half, shared by full and incremental
+    index builds. Materialized (localCheckpoint) BEFORE the
+    code-assignment projection: CollapseProject would otherwise
+    inline the argmax-dot cell scan and the residual zip_with into
+    every one of the m_sub x k_codes codebook lambda references — a
+    measured ~14x blowup (12 s -> ~1 s at sf0.1). At production scale
+    this table is persisted storage anyway (the codes ARE the
+    compressed index)."""
+    qcents_lit = _long_lit_2d(
+        [[math.floor(x * scale) for x in cv] for cv in centroids]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    rq_base = c.withColumn(
+        "cell", _nearest_cell("c_vec", centroids)
+    ).withColumn(
+        "rq",
+        F.zip_with(
+            _q_int(F.col("c_vec"), scale),
+            F.get(qcents_lit, F.col("cell")),
+            lambda a, b: a - b,
+        ),
+    )
+    return rq_base.drop("c_vec").localCheckpoint(eager=False)
+
+
+def _pq_assign_codes(
+    rq_df: DataFrame, book: list[list[list[int]]], m_sub: int
+) -> DataFrame:
+    """(vec_id, cell, codes): argmin-L2 codeword per subspace over a
+    FROZEN codebook (ties -> lowest code, BIGINT exact)."""
+    ds = len(book[0][0])
+    zero = F.lit(0).cast("long")
+    book_lit = _long_lit_3d(book)
+    return rq_df.withColumn(
+        "codes",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda m: F.array_min(
+                F.transform(
+                    F.get(book_lit, m),
+                    lambda cw, j: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(F.col("rq"), m * ds + 1, ds),
+                                cw,
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            zero,
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        j.alias("j"),
+                    ),
+                )
+            )["j"].cast("int"),
+        ),
+    ).select("vec_id", "cell", "codes")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    book: list[list[list[int]]],
+    m_sub: int = 8,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against FROZEN quantizers -> (vec_id, cell,
+    codes). Row-local by construction (cell argmax + residual + code
+    argmin touch only the row and two broadcast literals), which is
+    what makes the index incrementally maintainable: encode(A) UNION
+    encode(B) == encode(A ∪ B) exactly, for any split."""
+    return _pq_assign_codes(
+        _pq_residuals(corpus, centroids, scale, id_col, vec_col),
+        book,
+        m_sub,
+    )
+
+
+def ivf_pq_extend(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    book: list[list[list[int]]],
+    m_sub: int = 8,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a landing vector batch into a standing IVF-PQ index
+    WITHOUT re-quantizing the corpus — the similarity twin of
+    pipeline/kg.py's incremental edge fold. ``index`` is the standing
+    (vec_id, cell, codes) postings table (pq_encode output /
+    persisted storage); only the batch rows are encoded (frozen
+    centroids + codebook), then unioned in. Per-batch cost is
+    proportional to the batch — at 100 TB the standing corpus is
+    never touched. Centroid/codebook drift under distribution shift
+    is handled by periodic full rebuilds (the standard IVF practice),
+    not by this fold."""
+    return index.select("vec_id", "cell", "codes").unionByName(
+        pq_encode(batch, centroids, book, m_sub, scale, id_col, vec_col)
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -605,61 +719,11 @@ def ivf_pq_topk(
     )
     dim = len(centroids[0])
     ds = dim // m_sub
-    qcents_lit = _long_lit_2d(
-        [[math.floor(x * scale) for x in cv] for cv in centroids]
-    )
     zero = F.lit(0).cast("long")
-
-    def _sq_l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            zero,
-            lambda acc, x: acc + x,
-        )
-
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    )
-    rq_base = c.withColumn("cell", _nearest_cell("c_vec", centroids)).withColumn(
-        "rq",
-        F.zip_with(
-            _q_int(F.col("c_vec"), scale),
-            F.get(qcents_lit, F.col("cell")),
-            lambda a, b: a - b,
-        ),
-    )
-    # materialize (cell, rq) BEFORE the code-assignment projection:
-    # CollapseProject would otherwise inline the argmax-dot cell scan
-    # and the residual zip_with into every one of the m_sub x k_codes
-    # codebook lambda references — the same measured-14x blowup the
-    # unit() caution above documents (observed 12 s -> ~1 s at sf0.1).
-    # At production scale the encoded table is persisted storage
-    # anyway (the codes ARE the compressed index).
-    rq_base = rq_base.drop("c_vec").localCheckpoint(eager=False)
+    rq_base = _pq_residuals(corpus, centroids, scale, id_col, vec_col)
     if refine_iters:
         book = pq_refine_codebook(rq_base.select("rq"), book, refine_iters)
-    book_lit = _long_lit_3d(book)
-    assigned = (
-        rq_base
-        .withColumn(
-            "codes",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m_sub - 1)),
-                lambda m: F.array_min(
-                    F.transform(
-                        F.get(book_lit, m),
-                        lambda cw, j: F.struct(
-                            _sq_l2(
-                                F.slice(F.col("rq"), m * ds + 1, ds), cw
-                            ).alias("d"),
-                            j.alias("j"),
-                        ),
-                    )
-                )["j"].cast("int"),
-            ),
-        )
-        .select("vec_id", "cell", "codes")
-    )
+    assigned = _pq_assign_codes(rq_base, book, m_sub)
     # Query side: queries are small by contract (the same broadcast
     # assumption every path in this module makes), so the classic ADC
     # LOOKUP TABLE — per (query, probed cell): the m_sub x k_codes
