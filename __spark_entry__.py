@@ -1702,6 +1702,294 @@ GROUP BY doc_id
 )
 
 
+# --- Unigram-LM (SentencePiece-style) tokenizer --------------------------
+
+_UNIGRAM_KW = dict(max_piece_len=8, n_multi=120, n_final=60, max_word_len=16)
+
+
+def _unigram_docs(spark, sf):
+    """Corpus for the unigram entries: every 3rd doc (with >= 2
+    tokens) appends a COMPOUND word — its first two tokens
+    concatenated without a space — so multi-piece Viterbi
+    segmentation fires on real rows (the raw corpus words are short
+    enough that single pieces often win)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    compound = F.concat(F.element_at(toks, 1), F.element_at(toks, 2))
+    return d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.size(toks) >= 2),
+            F.concat(F.col("text"), F.lit(" "), compound),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_UNIGRAM_COST_CACHE: dict[str, dict] = {}
+
+
+def _unigram_costs_for(spark, sf):
+    """Train once per sf dir per process (deterministic)."""
+    from batch_import_spark.functions.unigram import train_unigram
+
+    got = _UNIGRAM_COST_CACHE.get(sf)
+    if got is None:
+        _, _, got = train_unigram(_unigram_docs(spark, sf), **_UNIGRAM_KW)
+        _UNIGRAM_COST_CACHE[sf] = got
+    return got
+
+
+def _unigram_vocab(spark, sf):
+    """Unigram-LM vocabulary learning (functions/unigram.py): the
+    SentencePiece scheme — substring-frequency seeding (top-120 by
+    weight*len), ONE integer-EM round (E-step = Viterbi over the
+    distinct word table under fixed-point integer log2 costs; M-step
+    = add-one usage costs over the pruned top-60 + coverage chars).
+    No libm anywhere: the log is the exact shift-and-square integer
+    algorithm, replayed as unrolled lateral-alias arithmetic by the
+    oracle, as a column expression by Spark, and in Python for the
+    fold literal — all three pinned equal in tests/test_unigram.py."""
+    from batch_import_spark.functions.unigram import unigram_vocab
+
+    return unigram_vocab(_unigram_docs(spark, sf), **_UNIGRAM_KW)
+
+
+def _unigram_tokenize(spark, sf):
+    """Viterbi tokenization under the trained unigram model: per doc
+    the token count, total fixed-point segmentation cost (quantized
+    negative log-likelihood), and the 60-bit portable hash of the
+    segmentation — minimum-cost DP as a pure expression fold over the
+    distinct word table + broadcast join back (the
+    wordpiece_tokenize plan shape); the oracle replays the DP as
+    chained per-position CTEs with the identical (cost, np, path)
+    struct-min tie-break."""
+    from batch_import_spark.functions.unigram import unigram_tokenize
+
+    return unigram_tokenize(
+        _unigram_docs(spark, sf),
+        _unigram_costs_for(spark, sf),
+        max_piece_len=_UNIGRAM_KW["max_piece_len"],
+        max_word_len=_UNIGRAM_KW["max_word_len"],
+    )
+
+
+def _ilog2_ctes(
+    src: str, in_expr: str, out: str, keep: str, p: str
+) -> tuple[str, str]:
+    """(cte_blocks, final_cte_name): the exact shift-and-square
+    fixed-point integer log of functions/unigram.py ilog2_fp as a
+    chain of MATERIALIZED CTEs — ONE squaring step per CTE. DuckDB
+    inlines lateral column aliases, so unrolling all 16 steps in one
+    SELECT (each step referencing the prior ~3×) builds a ~3^16-node
+    expression tree and hangs the PLANNER — the column-alias twin of
+    the chained-CTE exponential-inline gotcha. Pure BIGINT
+    shifts/compares, no libm."""
+    carry = ", ".join(
+        item.split(" AS ")[-1].strip().split(".")[-1]
+        for item in keep.split(",")
+    )
+    # step 0: exponent b via 6-step binary search (lateral aliases,
+    # tree stays ~2^6 — safe inline) + mantissa in [2^30, 2^31)
+    cols = [f"CAST({in_expr} AS BIGINT) AS {p}n"]
+    v, bterms = f"{p}n", []
+    for k in (32, 16, 8, 4, 2, 1):
+        cols.append(f"CASE WHEN {v} >= {1 << k} THEN {k} ELSE 0 END AS {p}b{k}")
+        cols.append(f"({v} >> {p}b{k}) AS {p}v{k}")
+        v = f"{p}v{k}"
+        bterms.append(f"{p}b{k}")
+    cols.append(f"({' + '.join(bterms)}) AS {p}b")
+    blocks = [
+        f"{p}s0 AS MATERIALIZED (\n"
+        f"  SELECT {carry}, {p}b AS b,\n"
+        f"         CASE WHEN {p}b <= 30 THEN {p}n << (30 - {p}b)\n"
+        f"              ELSE {p}n >> ({p}b - 30) END AS m,\n"
+        f"         CAST(0 AS BIGINT) AS f\n"
+        f"  FROM (SELECT {keep}, {', '.join(cols)} FROM {src})\n)"
+    ]
+    for k in range(1, 17):
+        blocks.append(
+            f"""{p}s{k} AS MATERIALIZED (
+  SELECT {carry}, b,
+         CASE WHEN sq >= 2147483648 THEN sq >> 1 ELSE sq END AS m,
+         f * 2 + CASE WHEN sq >= 2147483648 THEN 1 ELSE 0 END AS f
+  FROM (SELECT *, (m * m) >> 30 AS sq FROM {p}s{k - 1})
+)"""
+        )
+    blocks.append(
+        f"{p}fin AS (SELECT {carry}, CAST(b * 65536 + f AS BIGINT) "
+        f"AS {out} FROM {p}s16)"
+    )
+    return ",\n".join(blocks), f"{p}fin"
+
+
+def _viterbi_dp_sql(prefix: str, cost_cte: str, maxlen: int, mpl: int) -> str:
+    """Chained per-position DP CTEs (Viterbi over the word table):
+    {prefix}{i} holds the best (cost, np, path) for every word prefix
+    up to position i; ties resolve by the (cost, np, path) struct-min
+    — byte-identical to the Spark fold's array_min."""
+    blocks = [
+        f"{prefix}0 AS MATERIALIZED (\n"
+        f"  SELECT word, n, 0 AS pos, CAST(0 AS BIGINT) AS cost,\n"
+        f"         0 AS np, CAST('' AS VARCHAR) AS path FROM w\n)"
+    ]
+    for i in range(1, maxlen + 1):
+        blocks.append(
+            f"""{prefix}{i} AS MATERIALIZED (
+  SELECT * FROM {prefix}{i - 1}
+  UNION ALL
+  SELECT word, n, {i} AS pos, b['cost'] AS cost,
+         b['np'] AS np, b['path'] AS path FROM (
+    SELECT d.word, max(d.n) AS n,
+           min({{'cost': d.cost + v.cost, 'np': d.np + 1,
+                'path': d.path || CASE WHEN d.np > 0 THEN chr(30)
+                                       ELSE '' END || v.piece}}) AS b
+    FROM {prefix}{i - 1} d
+    JOIN {cost_cte} v
+      ON v.piece = substr(d.word, d.pos + 1, {i} - d.pos)
+    WHERE length(d.word) >= {i}
+      AND d.pos >= {i} - {mpl} AND d.pos < {i}
+    GROUP BY d.word
+  )
+)"""
+        )
+    return ",\n".join(blocks)
+
+
+def _unigram_base_sql() -> str:
+    """Shared CTE chain: planted corpus -> word table -> seed vocab ->
+    integer-log seed costs -> round-1 Viterbi -> usages -> pruned
+    vocab -> final add-one costs."""
+    kw = _UNIGRAM_KW
+    mpl, maxlen = kw["max_piece_len"], kw["max_word_len"]
+    seed_il, seed_fin = _ilog2_ctes("seed", "weight", "w_il",
+                                    "piece, weight", "_a")
+    tot0_il, tot0_fin = _ilog2_ctes("tot0v", "t", "t_il", "1 AS one", "_b")
+    kept_il, kept_fin = _ilog2_ctes(
+        "kept", "usage + 1", "u_il",
+        "piece, weight, usage, is_char, kept_rank", "_c")
+    tot1_il, tot1_fin = _ilog2_ctes("tot1v", "t", "t_il", "1 AS one", "_d")
+    return f"""planted AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 AND len(t0) >= 2
+              THEN text || ' ' || (t0[1] || t0[2])
+              ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t0
+        FROM documents)
+),
+w AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '\\s+'),
+          x -> x <> '')) AS word
+        FROM planted)
+  WHERE length(word) <= {maxlen} GROUP BY 1
+),
+cand AS MATERIALIZED (
+  SELECT piece, CAST(SUM(n) AS BIGINT) AS weight FROM (
+    SELECT substr(word, i, l) AS piece, n
+    FROM (SELECT word, n, unnest(generate_series(1, length(word))) AS i
+          FROM w),
+         unnest(generate_series(1, least({mpl}, length(word) - i + 1))) AS u(l)
+  ) GROUP BY 1
+),
+seed AS MATERIALIZED (
+  SELECT piece, weight FROM cand WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, weight FROM (
+    SELECT piece, weight,
+           row_number() OVER (ORDER BY weight * length(piece) DESC,
+                              piece ASC) AS rk
+    FROM cand WHERE length(piece) > 1
+  ) WHERE rk <= {kw["n_multi"]}
+),
+tot0v AS (SELECT CAST(SUM(weight) AS BIGINT) AS t FROM seed),
+{tot0_il},
+{seed_il},
+cost0 AS MATERIALIZED (
+  SELECT piece, (SELECT t_il FROM {tot0_fin}) - w_il AS cost FROM {seed_fin}
+),
+{_viterbi_dp_sql("dp", "cost0", maxlen, mpl)},
+seg1 AS MATERIALIZED (
+  SELECT word, n, np, cost, path FROM dp{maxlen} WHERE pos = length(word)
+),
+usage0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(n) AS BIGINT) AS u FROM (
+    SELECT unnest(string_split(path, chr(30))) AS piece, n FROM seg1
+  ) GROUP BY 1
+),
+useed AS MATERIALIZED (
+  SELECT s.piece, s.weight, CAST(coalesce(u.u, 0) AS BIGINT) AS usage,
+         length(s.piece) = 1 AS is_char
+  FROM seed s LEFT JOIN usage0 u USING (piece)
+),
+kept AS MATERIALIZED (
+  SELECT piece, weight, usage, is_char, CAST(NULL AS INT) AS kept_rank
+  FROM useed WHERE is_char
+  UNION ALL
+  SELECT piece, weight, usage, is_char, kept_rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY usage DESC, piece ASC)
+                   AS INT) AS kept_rank
+    FROM useed WHERE NOT is_char AND usage > 0
+  ) WHERE kept_rank <= {kw["n_final"]}
+),
+tot1v AS (SELECT CAST(SUM(usage + 1) AS BIGINT) AS t FROM kept),
+{tot1_il},
+{kept_il},
+cost1 AS MATERIALIZED (
+  SELECT piece, weight, usage, is_char, kept_rank,
+         (SELECT t_il FROM {tot1_fin}) - u_il AS cost
+  FROM {kept_fin}
+)"""
+
+
+_UNIGRAM_VOCAB_SQL = (
+    "WITH "
+    + _unigram_base_sql()
+    + """
+SELECT piece, weight AS seed_weight, usage, cost AS cost_fp,
+       is_char, kept_rank
+FROM cost1
+"""
+)
+
+_UNIGRAM_TOKENIZE_SQL = (
+    "WITH "
+    + _unigram_base_sql()
+    + ",\n"
+    + _viterbi_dp_sql(
+        "ep", "cost1", _UNIGRAM_KW["max_word_len"],
+        _UNIGRAM_KW["max_piece_len"],
+    )
+    + f""",
+seg2 AS MATERIALIZED (
+  SELECT word, np, cost, path FROM ep{_UNIGRAM_KW["max_word_len"]}
+  WHERE pos = length(word)
+),
+docw AS (
+  SELECT doc_id, unnest(arr) AS word,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS arr
+        FROM planted)
+)
+SELECT doc_id, CAST(SUM(f.np) AS BIGINT) AS n_unigram_tokens,
+       CAST(SUM(f.cost) AS BIGINT) AS ll_cost_fp,
+       ('0x' || substr(md5(string_agg(replace(f.path, chr(30), ' '), ' '
+                                      ORDER BY d.pos)), 1, 15))::BIGINT
+         AS seg_hash
+FROM docw d JOIN seg2 f USING (word)
+GROUP BY doc_id
+"""
+)
+
+
 def _bpe_train(spark, sf):
     """Learn BPE merges on the document corpus (distributed pair-count
     argmax per rank; functions/bpe.py). Output = the merge table
@@ -6127,6 +6415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,
         "wordpiece_vocab": _wordpiece_vocab,
         "wordpiece_tokenize": _wordpiece_tokenize,
+        "unigram_vocab": _unigram_vocab,
+        "unigram_tokenize": _unigram_tokenize,
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
         "lm_bigram_score": _lm_bigram_score,
@@ -6265,6 +6555,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _BPE_TRAIN_SQL,
         "wordpiece_vocab": _WP_VOCAB_SQL,
         "wordpiece_tokenize": _WP_TOKENIZE_SQL,
+        "unigram_vocab": _UNIGRAM_VOCAB_SQL,
+        "unigram_tokenize": _UNIGRAM_TOKENIZE_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,

@@ -144,6 +144,11 @@ def main() -> int:
         "quality_gate",
         "wordpiece_tokenize",
         "vocab_growth",
+        # round 6
+        "repetition_screen_para",
+        "domain_filter",
+        "unigram_tokenize",
+        "ivf_pq_incremental",
     ]
     for name in bench_queries:
         t0 = time.time()
