@@ -1990,6 +1990,96 @@ GROUP BY doc_id
 )
 
 
+# --- DSIR importance resampling ------------------------------------------
+
+_DSIR_K = 100
+_DSIR_BUCKETS = 128
+
+
+def _dsir_select(spark, sf):
+    """DSIR data selection (operators/dsir.py; Xie et al. 2023):
+    hashed unigram+bigram bag features over 128 buckets, two add-one
+    bag-of-buckets LMs (target = source 'src0' docs, raw = the rest),
+    per-candidate importance weight Σ cnt_b·(log p_b − log q_b) in
+    fixed-point integer log2 (the ilog2_fp kernel unigram shares),
+    deterministic top-k by (weight DESC, doc_id). Reference analog:
+    none — training-data selection surface."""
+    from batch_import_spark.operators.dsir import dsir_select
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return dsir_select(
+        d, F.col("source") == "src0", k=_DSIR_K, n_buckets=_DSIR_BUCKETS
+    )
+
+
+def _dsir_select_sql() -> str:
+    B, K = _DSIR_BUCKETS, _DSIR_K
+    tb_il, tb_fin = _ilog2_ctes("tb", "cplus", "v", "bucket", "_p")
+    rb_il, rb_fin = _ilog2_ctes("rb", "cplus", "v", "bucket", "_q")
+    tt_il, tt_fin = _ilog2_ctes("ttot", "t", "v", "1 AS one", "_r")
+    rt_il, rt_fin = _ilog2_ctes("rtot", "t", "v", "1 AS one", "_s")
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, source = 'src0' AS is_target,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, is_target, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(gram), 1, 15))::BIGINT % {B} AS INT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+grid AS (SELECT CAST(unnest(generate_series(0, {B - 1})) AS INT) AS bucket),
+tb AS MATERIALIZED (
+  SELECT g.bucket, CAST(coalesce(s.c, 0) + 1 AS BIGINT) AS cplus
+  FROM grid g LEFT JOIN (
+    SELECT bucket, SUM(cnt) AS c FROM feats WHERE is_target GROUP BY 1
+  ) s USING (bucket)
+),
+rb AS MATERIALIZED (
+  SELECT g.bucket, CAST(coalesce(s.c, 0) + 1 AS BIGINT) AS cplus
+  FROM grid g LEFT JOIN (
+    SELECT bucket, SUM(cnt) AS c FROM feats WHERE NOT is_target GROUP BY 1
+  ) s USING (bucket)
+),
+ttot AS (SELECT CAST(SUM(cplus) AS BIGINT) AS t FROM tb),
+rtot AS (SELECT CAST(SUM(cplus) AS BIGINT) AS t FROM rb),
+{tb_il},
+{rb_il},
+{tt_il},
+{rt_il},
+lam AS MATERIALIZED (
+  SELECT p.bucket,
+         (p.v - (SELECT v FROM {tt_fin}))
+         - (q.v - (SELECT v FROM {rt_fin})) AS lam_fp
+  FROM {tb_fin} p JOIN {rb_fin} q USING (bucket)
+),
+sel AS (
+  SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+         CAST(SUM(f.cnt * l.lam_fp) AS BIGINT) AS weight_fp
+  FROM feats f JOIN lam l USING (bucket)
+  WHERE NOT f.is_target
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_grams, weight_fp,
+       CAST(row_number() OVER (ORDER BY weight_fp DESC, doc_id ASC) AS INT)
+         AS sel_rank
+FROM sel
+QUALIFY sel_rank <= {K}
+"""
+
+
+_DSIR_SELECT_SQL = _dsir_select_sql()
+
+
 def _bpe_train(spark, sf):
     """Learn BPE merges on the document corpus (distributed pair-count
     argmax per rank; functions/bpe.py). Output = the merge table
@@ -6417,6 +6507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokenize": _wordpiece_tokenize,
         "unigram_vocab": _unigram_vocab,
         "unigram_tokenize": _unigram_tokenize,
+        "dsir_select": _dsir_select,
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
         "lm_bigram_score": _lm_bigram_score,
@@ -6557,6 +6648,7 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_tokenize": _WP_TOKENIZE_SQL,
         "unigram_vocab": _UNIGRAM_VOCAB_SQL,
         "unigram_tokenize": _UNIGRAM_TOKENIZE_SQL,
+        "dsir_select": _DSIR_SELECT_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,

@@ -126,12 +126,63 @@ def encode_text(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     return apply_merges(wrap_chars(normalized), merges)
 
 
+def _merge_greedy(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of one (l, r) pair —
+    the exact semantics of ``merge_expr``'s literal replace()."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """Pure-Python twin of the distributed training loop, used when
+    the vocabulary fits under the driver threshold. Byte-identical
+    merges: pair counts are OVERLAPPING (adjacent zip, matching the
+    distributed explode) while each applied merge is greedy
+    non-overlapping (matching merge_expr's replace); argmax tie-break
+    is (cnt DESC, l ASC, r ASC) like the distributed orderBy."""
+    items: list[tuple[list[str], int]] = [
+        (list(w), n) for w, n in word_counts
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms, n in items:
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + n
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        merges.append((left, right, c))
+        items = [
+            (_merge_greedy(syms, left, right), n) for syms, n in items
+        ]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 32,
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    driver_vocab_threshold: int = 65536,
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges from a document corpus.
 
@@ -140,6 +191,17 @@ def bpe_train(
     times. Driver traffic is one 3-field row per merge step (bounded
     by contract, same discipline as canonicalize.py's convergence
     signature); all counting is distributed and map-side combinable.
+
+    When the distinct-word table fits under
+    ``driver_vocab_threshold`` rows, the merge loop runs driver-side
+    on the collected (word, n) table instead — the threshold-gated
+    pattern of canonicalize.py's union-find. The distributed loop
+    pays ~n_merges sequential Spark jobs of pure scheduling latency
+    to aggregate a vocabulary-sized table; under the threshold the
+    collect is bounded by contract and the Python twin
+    (`_bpe_train_driver`, equality pytest-pinned) produces identical
+    merges in milliseconds. Beyond the threshold (web-scale vocab)
+    the distributed loop runs unchanged.
     """
     words = (
         docs.select(
@@ -154,6 +216,12 @@ def bpe_train(
     wt = words.select(
         "word", "n", wrap_chars(F.col("word")).alias("s")
     ).localCheckpoint(eager=True)
+
+    if wt.count() <= driver_vocab_threshold:
+        rows = wt.select("word", "n").collect()
+        return _bpe_train_driver(
+            [(r.word, int(r.n)) for r in rows], n_merges, min_pair_count
+        )
 
     merges: list[tuple[str, str, int]] = []
     prev = wt

@@ -1,0 +1,174 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023): select raw-corpus documents whose hashed-n-gram
+profile looks like a small target corpus.
+
+The published recipe: featurize every document as a bag of hashed
+unigrams+bigrams over ``n_buckets`` buckets, fit two bag-of-buckets
+LMs — p (target corpus) and q (raw corpus) — and weight each raw
+document by its log importance ratio
+
+    log w(x) = sum_b  count_b(x) * (log p_b - log q_b)
+
+then resample/top-k by weight. Reference analog: none (the reference
+is a CSV importer, readme.md:1-40) — training-data surface the brief
+requires.
+
+Determinism contract (both engines replay bit-for-bit):
+
+- Bucket = ``portable_hash60(gram) % n_buckets`` (the md5-based
+  60-bit portable hash, operators/sketches.py:35 — non-negative, so
+  ``%`` and ``pmod`` agree).
+- Logs are the fixed-point integer log2 of functions/unigram.py
+  (``ilog2_fp_col``) — no libm in cross-engine contracts (the
+  operators/lm.py discipline). Add-one smoothing over the full
+  bucket grid:
+
+      lam_b = [ilog2(t_b + 1) - ilog2(T + B)]
+            - [ilog2(r_b + 1) - ilog2(R + B)]
+
+  with T = sum t_b, R = sum r_b, so every bucket (even one unseen in
+  both corpora) has a finite lambda and the weight is an exact
+  BIGINT sum.
+- Top-k tie-break: (weight_fp DESC, doc_id ASC) row_number.
+
+Scale shape: featurization is one explode + one map-side-combinable
+(doc, bucket) groupBy; the two LMs are one more groupBy over the
+SAME featurized table (B-bounded output); scoring joins the per-doc
+bucket counts against the broadcast B-row lambda table — no shuffle
+wider than the feature table, no iteration, no driver state. The
+scalar totals ride a sanctioned broadcast single-row cross join
+(the operators/sampling.py temperature_mixture pattern). At 100 TB
+the featurize groupBy is the only big shuffle and it partial-
+aggregates; the lambda table stays n_buckets rows regardless of
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from batch_import_spark.functions.unigram import ilog2_fp_col
+from batch_import_spark.operators.lm import _adjacent_pairs, _words
+from batch_import_spark.operators.sketches import portable_hash60
+
+N_BUCKETS = 128
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, bucket, cnt): unigram + bigram tokens hashed into
+    ``n_buckets`` buckets. Blank docs yield no rows (both engines)."""
+    toks = _words(text_col)
+    bigrams = F.transform(
+        _adjacent_pairs(toks), lambda s: F.concat_ws(" ", s["w1"], s["w2"])
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("gram")
+        )
+        .select(
+            id_col,
+            F.pmod(portable_hash60(F.col("gram")), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _bucket_log_probs(
+    feats: DataFrame,
+    spark,
+    n_buckets: int,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """(bucket, lp_fp): add-one-smoothed fixed-point log2 probability
+    per bucket over the FULL 0..B-1 grid (zero-count buckets get the
+    smoothed floor)."""
+    grid = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum(count_col).cast("long").alias("c")
+    )
+    full = grid.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    total = full.agg(
+        (F.sum("c") + F.lit(n_buckets)).cast("long").alias("_t")
+    )
+    return full.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        (
+            ilog2_fp_col(F.col("c") + 1) - ilog2_fp_col(F.col("_t"))
+        ).alias("lp_fp"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-candidate-document importance weight: (id, n_grams,
+    weight_fp). Candidates are the rows where ``target_pred`` is
+    false; the target corpus (pred true) only shapes the numerator
+    LM, exactly as in the paper (select raw data that resembles the
+    target)."""
+    spark = docs.sparkSession
+    tagged = docs.withColumn("_is_target", target_pred)
+    feats = hashed_ngram_counts(tagged, id_col, text_col, n_buckets)
+    flag = tagged.select(id_col, "_is_target")
+    ff = feats.join(flag, id_col)
+    lam = (
+        _bucket_log_probs(ff.where(F.col("_is_target")), spark, n_buckets)
+        .withColumnRenamed("lp_fp", "lp_t")
+        .join(
+            _bucket_log_probs(
+                ff.where(~F.col("_is_target")), spark, n_buckets
+            ).withColumnRenamed("lp_fp", "lp_r"),
+            "bucket",
+        )
+        .select("bucket", (F.col("lp_t") - F.col("lp_r")).alias("lam_fp"))
+    )
+    return (
+        ff.where(~F.col("_is_target"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lam_fp")).cast("long").alias(
+                "weight_fp"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Deterministic top-k selection by importance weight:
+    (id, n_grams, weight_fp, sel_rank). The paper's Gumbel resampling
+    is replaced by the rank cut — the deterministic variant — so both
+    engines agree exactly; plug a seeded Gumbel column in front of
+    the window for the stochastic flavor."""
+    w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets)
+    win = Window.orderBy(F.col("weight_fp").desc(), F.col(id_col).asc())
+    return (
+        w.withColumn("sel_rank", F.row_number().over(win).cast("int"))
+        .where(F.col("sel_rank") <= k)
+    )

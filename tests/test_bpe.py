@@ -84,6 +84,24 @@ def test_train_early_stop_when_no_pair_reaches_min_count(spark):
     assert got == []  # every pair occurs once
 
 
+def test_driver_path_equals_distributed_path(spark):
+    """The threshold-gated driver trainer and the distributed loop
+    must emit byte-identical merge tables (overlapping pair counts,
+    greedy non-overlapping apply, cnt DESC / l / r tie-break)."""
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest aaa aaaa",
+        "wider wider new new aaa",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text: string")
+    via_driver = bpe_train(df, "text", n_merges=10, min_pair_count=2)
+    via_cluster = bpe_train(
+        df, "text", n_merges=10, min_pair_count=2, driver_vocab_threshold=0
+    )
+    assert via_driver == via_cluster and len(via_driver) == 10
+
+
 def test_greedy_fold_semantics(spark):
     # "aaaa" -> [aa, aa]; "aaa" -> [aa, a] (left-to-right non-overlap)
     df = spark.createDataFrame([("aaaa",), ("aaa",)], "text: string")
