@@ -2080,6 +2080,122 @@ QUALIFY sel_rank <= {K}
 _DSIR_SELECT_SQL = _dsir_select_sql()
 
 
+# --- Exact fixed-point k-means -------------------------------------------
+
+_KMEANS_KW = dict(k=8, iters=2, scale=1000)
+_KMEANS_SAMPLE = 20
+
+
+def _kmeans_clusters(spark, sf):
+    """Exact Lloyd k-means over the embeddings table
+    (operators/kmeans.py): vectors quantized to integers once, k=8
+    seeds = lowest vec_ids, 2 update rounds with floor(sum/count)
+    centroids, then the per-cluster member count and integer inertia
+    under the final assignment. Every arithmetic step is exact, so
+    the DuckDB oracle replays the full clustering as chained
+    MATERIALIZED CTEs (one per Lloyd round). Reference analog: none
+    — embedding-curation surface."""
+    from batch_import_spark.operators.kmeans import kmeans_clusters
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return kmeans_clusters(e, **_KMEANS_KW)
+
+
+def _cluster_balanced_sample(spark, sf):
+    """DataComp-style cluster-balanced subset: within each final
+    k-means cluster rank members by the portable 60-bit id hash (a
+    seedless uniform order both engines share) and keep the first 20
+    — equal representation per cluster regardless of cluster mass."""
+    from batch_import_spark.operators.kmeans import cluster_balanced_sample
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cluster_balanced_sample(e, per_cluster=_KMEANS_SAMPLE, **_KMEANS_KW)
+
+
+def _kmeans_base_sql() -> str:
+    k, iters, scale = (
+        _KMEANS_KW["k"], _KMEANS_KW["iters"], _KMEANS_KW["scale"],
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(qv, cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    blocks = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         qv AS cv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        blocks.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, any_value(qv) AS qv,
+         min({{'d': {dist}, 'c': cid}}) AS b
+  FROM q, c{i - 1} GROUP BY vec_id
+),
+s{i} AS MATERIALIZED (
+  SELECT cid, i,
+         CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM (SELECT b['c'] AS cid, unnest(qv) AS v,
+               unnest(generate_series(1, len(qv))) AS i
+        FROM a{i})
+  GROUP BY cid, i
+),
+n{i} AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS cv FROM s{i}
+                      GROUP BY cid),
+c{i} AS MATERIALIZED (
+  SELECT c{i - 1}.cid, coalesce(n{i}.cv, c{i - 1}.cv) AS cv
+  FROM c{i - 1} LEFT JOIN n{i} USING (cid)
+)"""
+        )
+    blocks.append(
+        f"""af AS MATERIALIZED (
+  SELECT vec_id, b['c'] AS cid, b['d'] AS dist FROM (
+    SELECT vec_id, min({{'d': {dist}, 'c': cid}}) AS b
+    FROM q, c{iters} GROUP BY vec_id
+  )
+)"""
+    )
+    return ",\n".join(blocks)
+
+
+_KMEANS_CLUSTERS_SQL = (
+    "WITH "
+    + _kmeans_base_sql()
+    + """
+SELECT CAST(cid AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia_fp
+FROM af GROUP BY cid
+"""
+)
+
+_CLUSTER_BALANCED_SAMPLE_SQL = (
+    "WITH "
+    + _kmeans_base_sql()
+    + f"""
+SELECT vec_id, CAST(cid AS INT) AS cluster_id, samp_rank
+FROM (
+  SELECT vec_id, cid,
+         CAST(row_number() OVER (
+           PARTITION BY cid
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                      ::BIGINT ASC, vec_id ASC
+         ) AS INT) AS samp_rank
+  FROM af
+)
+WHERE samp_rank <= {_KMEANS_SAMPLE}
+"""
+)
+
+
 def _bpe_train(spark, sf):
     """Learn BPE merges on the document corpus (distributed pair-count
     argmax per rank; functions/bpe.py). Output = the merge table
@@ -6508,6 +6624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": _unigram_vocab,
         "unigram_tokenize": _unigram_tokenize,
         "dsir_select": _dsir_select,
+        "kmeans_clusters": _kmeans_clusters,
+        "cluster_balanced_sample": _cluster_balanced_sample,
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
         "lm_bigram_score": _lm_bigram_score,
@@ -6649,6 +6767,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_vocab": _UNIGRAM_VOCAB_SQL,
         "unigram_tokenize": _UNIGRAM_TOKENIZE_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
+        "kmeans_clusters": _KMEANS_CLUSTERS_SQL,
+        "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,

@@ -149,6 +149,9 @@ def main() -> int:
         "domain_filter",
         "unigram_tokenize",
         "ivf_pq_incremental",
+        "dsir_select",
+        "kmeans_clusters",
+        "cluster_balanced_sample",
     ]
     for name in bench_queries:
         t0 = time.time()
