@@ -2867,6 +2867,181 @@ GROUP BY symbol
 )
 
 
+# --- Cross-family tokenizer fertility audit ------------------------------
+
+_WORDS_SZ_SQL = (
+    "len(list_filter(regexp_split_to_array(lower(trim({t})), '\\s+'), "
+    "x -> x <> ''))"
+)
+
+
+def _tokenizer_fertility(spark, sf):
+    """Cross-family tokenizer audit: total subword tokens, total
+    whitespace words, and fertility (tokens per word, ppm) for all
+    three learned tokenizer families over their own training corpora
+    (BPE and WordPiece on the raw documents, unigram on its planted
+    compound corpus). Fertility is THE comparison number tokenizer
+    papers report; here it is an oracle-backed query so regressions
+    in any family's training/segmentation show up as a value change.
+    One aggregate per family over already-registered entries — blank
+    docs contribute zero words and zero tokens on both engines."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks_sz = F.size(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    base_words = d.agg(F.sum(toks_sz).cast("long").alias("total_words"))
+    planted_words = _unigram_docs(spark, sf).agg(
+        F.sum(toks_sz).cast("long").alias("total_words")
+    )
+
+    def fam(tokdf, col, words_df, name):
+        t = tokdf.agg(F.sum(col).cast("long").alias("total_tokens"))
+        return t.crossJoin(F.broadcast(words_df)).select(
+            F.lit(name).alias("family"),
+            "total_tokens",
+            "total_words",
+            F.expr("(total_tokens * 1000000L) div total_words").alias(
+                "fertility_ppm"
+            ),
+        )
+
+    return (
+        fam(_bpe_tokenize(spark, sf), "n_bpe_tokens", base_words, "bpe")
+        .unionAll(
+            fam(
+                _wordpiece_tokenize(spark, sf),
+                "n_wp_tokens",
+                base_words,
+                "wordpiece",
+            )
+        )
+        .unionAll(
+            fam(
+                _unigram_tokenize(spark, sf),
+                "n_unigram_tokens",
+                planted_words,
+                "unigram",
+            )
+        )
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    base_words = (
+        "(SELECT CAST(SUM("
+        + _WORDS_SZ_SQL.format(t="text")
+        + ") AS BIGINT) FROM documents)"
+    )
+    planted_words = (
+        "(SELECT CAST(SUM("
+        + _WORDS_SZ_SQL.format(t="ptext")
+        + """) AS BIGINT) FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 AND len(t0) >= 2
+                  THEN text || ' ' || (t0[1] || t0[2])
+                  ELSE text END AS ptext
+      FROM (SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+'),
+                               x -> x <> '') AS t0
+            FROM documents)))"""
+    )
+    return f"""SELECT family, total_tokens, total_words,
+       CAST((total_tokens * 1000000) // total_words AS BIGINT)
+         AS fertility_ppm
+FROM (
+  SELECT 'bpe' AS family,
+         (SELECT CAST(SUM(n_bpe_tokens) AS BIGINT)
+          FROM ({_BPE_TOKENIZE_SQL}) x) AS total_tokens,
+         {base_words} AS total_words
+  UNION ALL
+  SELECT 'wordpiece' AS family,
+         (SELECT CAST(SUM(n_wp_tokens) AS BIGINT)
+          FROM ({_WP_TOKENIZE_SQL}) x) AS total_tokens,
+         {base_words} AS total_words
+  UNION ALL
+  SELECT 'unigram' AS family,
+         (SELECT CAST(SUM(n_unigram_tokens) AS BIGINT)
+          FROM ({_UNIGRAM_TOKENIZE_SQL}) x) AS total_tokens,
+         {planted_words} AS total_words
+)
+"""
+
+
+_TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql()
+
+
+# --- UniMax budget allocation --------------------------------------------
+
+
+def _unimax_budget(spark, sf):
+    """UniMax per-source token-budget allocation (operators/
+    sampling.py unimax_budget): closed-form water-filling of a budget
+    of 1.5x the corpus tokens across the 20 sources with a 2-epoch
+    repeat cap — the published alternative to temperature sampling
+    that never over-repeats small domains. Both engines replay the
+    exact same sort + prefix-sum + floor arithmetic."""
+    from batch_import_spark.operators.sampling import unimax_budget
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks_sz = F.size(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    return unimax_budget(
+        d,
+        "source",
+        toks_sz.cast("long"),
+        F.expr("(sum(n_tokens) * 3L) div 2"),
+        max_epochs=2,
+    )
+
+
+_UNIMAX_BUDGET_SQL = f"""WITH tok AS MATERIALIZED (
+  SELECT source,
+         CAST(SUM({_WORDS_SZ_SQL.format(t="text")}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+caps AS MATERIALIZED (
+  SELECT source, n_tokens, CAST(2 * n_tokens AS BIGINT) AS cap_tokens
+  FROM tok
+),
+b AS (SELECT CAST((SUM(n_tokens) * 3) // 2 AS BIGINT) AS budget,
+             COUNT(*) AS n
+      FROM caps),
+rk AS MATERIALIZED (
+  SELECT source, n_tokens, cap_tokens,
+         row_number() OVER (ORDER BY cap_tokens, source) AS i,
+         CAST(coalesce(SUM(cap_tokens) OVER (
+           ORDER BY cap_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pprev
+  FROM caps
+),
+lvl AS MATERIALIZED (
+  SELECT *, CAST(floor(CAST((SELECT budget FROM b) - pprev AS DOUBLE)
+                       / ((SELECT n FROM b) - i + 1)) AS BIGINT) AS level
+  FROM rk
+),
+ls AS (SELECT min({{'i': i, 'lv': level}})['lv'] AS lstar
+       FROM lvl WHERE cap_tokens >= level),
+q AS (
+  SELECT source, n_tokens, cap_tokens,
+         CAST(CASE WHEN (SELECT lstar FROM ls) IS NULL THEN cap_tokens
+              ELSE least(cap_tokens, (SELECT lstar FROM ls)) END AS BIGINT)
+           AS quota_tokens
+  FROM lvl
+)
+SELECT source, n_tokens, cap_tokens, quota_tokens,
+       CAST((quota_tokens * 1000000) // n_tokens AS BIGINT) AS epochs_ppm
+FROM q
+"""
+
+
 def _bpe_packed_batches(spark, sf):
     """End-to-end training-batch prep: tokenize every doc with the
     LEARNED BPE merges (zero-shuffle replace chain), then greedily
@@ -6626,6 +6801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "kmeans_clusters": _kmeans_clusters,
         "cluster_balanced_sample": _cluster_balanced_sample,
+        "tokenizer_fertility": _tokenizer_fertility,
+        "unimax_budget": _unimax_budget,
         "bpe_tokenize": _bpe_tokenize,
         "bpe_vocab": _bpe_vocab,
         "lm_bigram_score": _lm_bigram_score,
@@ -6769,6 +6946,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_SELECT_SQL,
         "kmeans_clusters": _KMEANS_CLUSTERS_SQL,
         "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_SQL,
+        "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
+        "unimax_budget": _UNIMAX_BUDGET_SQL,
         "bpe_tokenize": _BPE_TOKENIZE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "lm_bigram_score": _LM_SCORE_SQL,

@@ -196,3 +196,98 @@ def split_leakage_audit(
         .where((F.col("doc_a") < F.col("doc_b")) & (F.col("_ta") != F.col("_tb")))
         .select("doc_a", "doc_b", "fp")
     )
+
+
+def unimax_budget(
+    df: DataFrame,
+    source_col: str,
+    tokens_expr: Column,
+    budget: Column,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): split a total
+    token ``budget`` across sources as evenly as possible, subject to
+    a per-source repeat cap of ``max_epochs`` epochs — the published
+    alternative to temperature sampling that never over-repeats small
+    domains.
+
+    Closed-form water-filling instead of the paper's iterative loop:
+    sort sources by cap = max_epochs * n_tokens ascending; at rank i
+    the tentative level is
+
+        level_i = floor((budget - sum of caps before i) / (n - i + 1))
+
+    and the water level L* is level_i of the FIRST rank with
+    cap_i >= level_i (sources before it are fully capped). Every
+    source then gets quota = min(cap, L*); if no rank qualifies the
+    budget exceeds every cap and all sources are capped. All
+    arithmetic is BIGINT except the one floor(double) division,
+    exact while |budget| < 2^53 — both engines replay it identically.
+    Remainder tokens (< n) are deliberately NOT redistributed; the
+    quota sum is within n of the budget (documented determinism over
+    the last crumbs).
+
+    ``budget`` is an AGGREGATE Column evaluated over the per-source
+    (source, n_tokens) count table, so data-derived budgets (e.g.
+    ``F.expr("(sum(n_tokens) * 3L) div 2")``) stay engine-portable;
+    wrap a constant as ``F.min(F.lit(...))``.
+    Scale shape: one map-side-combinable source groupBy (S rows out),
+    then window + broadcast joins over the S-row table only.
+    Output: (source, n_tokens, cap_tokens, quota_tokens, epochs_ppm).
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens_expr).cast("long").alias("n_tokens")
+    )
+    caps = counts.select(
+        "source",
+        "n_tokens",
+        (F.lit(max_epochs) * F.col("n_tokens")).cast("long").alias("cap_tokens"),
+    )
+    b = caps.agg(budget.cast("long").alias("_budget"), F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("cap_tokens", "source")
+    ranked = (
+        caps.crossJoin(F.broadcast(b))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_pprev",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "_level",
+            F.floor(
+                (F.col("_budget") - F.col("_pprev")).cast("double")
+                / (F.col("_n") - F.col("_i") + 1)
+            ).cast("long"),
+        )
+    )
+    lstar = ranked.agg(
+        F.min(
+            F.when(
+                F.col("cap_tokens") >= F.col("_level"),
+                F.struct(F.col("_i").alias("i"), F.col("_level").alias("lv")),
+            )
+        ).alias("_b")
+    ).select(F.col("_b.lv").alias("_lstar"))
+    return (
+        ranked.crossJoin(F.broadcast(lstar))
+        .select(
+            "source",
+            "n_tokens",
+            "cap_tokens",
+            F.when(
+                F.col("_lstar").isNull(), F.col("cap_tokens")
+            )
+            .otherwise(F.least(F.col("cap_tokens"), F.col("_lstar")))
+            .cast("long")
+            .alias("quota_tokens"),
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.expr("(quota_tokens * 1000000L) div n_tokens"),
+        )
+    )

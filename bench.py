@@ -152,6 +152,8 @@ def main() -> int:
         "dsir_select",
         "kmeans_clusters",
         "cluster_balanced_sample",
+        "tokenizer_fertility",
+        "unimax_budget",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -1,0 +1,97 @@
+"""Round-6 operators: UniMax budget allocation + tokenizer fertility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batch_import_spark.operators.sampling import unimax_budget
+
+
+def _sources(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for src, n_tok in sizes.items():
+        rows.append((i, " ".join(["w"] * n_tok), src))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _toks():
+    return F.size(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+
+
+def test_unimax_water_filling_mixed_branches(spark):
+    # caps (E=2): a=20, b=40, c=200. budget 100:
+    # i=1: level=floor(100/3)=33 > cap 20 -> a capped at 20
+    # i=2: level=floor(80/2)=40 >= ... cap_b=40 >= 40 -> L*=40
+    # quotas: a=20, b=40, c=min(200, 40)=40; sum=100 (exact here)
+    df = _sources(spark, {"a": 10, "b": 20, "c": 100})
+    out = {
+        r.source: r
+        for r in unimax_budget(
+            df, "source", _toks(), F.min(F.lit(100)), max_epochs=2
+        ).collect()
+    }
+    assert out["a"].cap_tokens == 20 and out["a"].quota_tokens == 20
+    assert out["b"].quota_tokens == 40
+    assert out["c"].quota_tokens == 40
+    assert out["a"].epochs_ppm == 2_000_000  # fully repeated twice
+    assert out["c"].epochs_ppm == 400_000  # 40/100 of one epoch
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    df = _sources(spark, {"a": 5, "b": 7})
+    out = {
+        r.source: r
+        for r in unimax_budget(
+            df, "source", _toks(), F.min(F.lit(10_000)), max_epochs=3
+        ).collect()
+    }
+    # no rank qualifies -> every source fully capped
+    assert out["a"].quota_tokens == 15 and out["b"].quota_tokens == 21
+    assert out["a"].epochs_ppm == 3_000_000
+
+
+def test_unimax_even_split_uncapped(spark):
+    df = _sources(spark, {"a": 100, "b": 100, "c": 100})
+    out = {
+        r.source: r.quota_tokens
+        for r in unimax_budget(
+            df, "source", _toks(), F.min(F.lit(90)), max_epochs=2
+        ).collect()
+    }
+    assert out == {"a": 30, "b": 30, "c": 30}
+
+
+def test_unimax_zero_budget(spark):
+    df = _sources(spark, {"a": 4, "b": 9})
+    out = {
+        r.source: r.quota_tokens
+        for r in unimax_budget(
+            df, "source", _toks(), F.min(F.lit(0)), max_epochs=2
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 0}
+
+
+def test_tokenizer_fertility_entry(spark):
+    import __spark_entry__ as E
+
+    rows = {
+        r.family: r
+        for r in E._tokenizer_fertility(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {"bpe", "wordpiece", "unigram"}
+    for fam, r in rows.items():
+        # every tokenizer emits at least one token per word
+        assert r.fertility_ppm >= 1_000_000, fam
+        assert r.total_tokens >= r.total_words > 0
+    # the unigram corpus is the planted one (one extra compound word
+    # per eligible doc) so its word total exceeds the raw corpus
+    assert rows["unigram"].total_words > rows["bpe"].total_words
