@@ -2012,8 +2012,8 @@ def _dsir_select(spark, sf):
     )
 
 
-def _dsir_select_sql() -> str:
-    B, K = _DSIR_BUCKETS, _DSIR_K
+def _dsir_base_sql() -> str:
+    B = _DSIR_BUCKETS
     tb_il, tb_fin = _ilog2_ctes("tb", "cplus", "v", "bucket", "_p")
     rb_il, rb_fin = _ilog2_ctes("rb", "cplus", "v", "bucket", "_q")
     tt_il, tt_fin = _ilog2_ctes("ttot", "t", "v", "1 AS one", "_r")
@@ -2069,15 +2069,109 @@ sel AS (
   WHERE NOT f.is_target
   GROUP BY f.doc_id
 )
-SELECT doc_id, n_grams, weight_fp,
-       CAST(row_number() OVER (ORDER BY weight_fp DESC, doc_id ASC) AS INT)
-         AS sel_rank
-FROM sel
-QUALIFY sel_rank <= {K}
 """
 
 
-_DSIR_SELECT_SQL = _dsir_select_sql()
+_DSIR_SELECT_SQL = (
+    _dsir_base_sql()
+    + f"""SELECT doc_id, n_grams, weight_fp,
+       CAST(row_number() OVER (ORDER BY weight_fp DESC, doc_id ASC) AS INT)
+         AS sel_rank
+FROM sel
+QUALIFY sel_rank <= {_DSIR_K}
+"""
+)
+
+_DSIR_WEIGHTS_SQL = (
+    _dsir_base_sql() + "SELECT doc_id, n_grams, weight_fp FROM sel\n"
+)
+
+
+def _stream_dsir_screen(spark, sf):
+    """Landing-time DSIR screen: the frozen importance model — the
+    128-row lambda table trained in BATCH on the same corpus — scores
+    a bounded streaming replay of the documents table as a fully
+    ROW-LOCAL expression: per doc, the gram array folds through
+    element_at(lambda_literal, bucket(gram)) so the stream needs no
+    shuffle, no state store, no watermark (the frozen-quantizer
+    discipline of stream_ann_incremental, applied to data
+    selection). Output rows equal batch ``dsir_weights`` exactly;
+    the oracle is the batch weights SQL."""
+    import os
+    import tempfile
+
+    from batch_import_spark.operators.dsir import (
+        _bucket_log_probs,
+        hashed_ngram_counts,
+    )
+    from batch_import_spark.operators.lm import _adjacent_pairs, _words
+    from batch_import_spark.operators.sketches import portable_hash60
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    tagged = d.withColumn("_is_target", F.col("source") == "src0")
+    feats = hashed_ngram_counts(tagged, "doc_id", "text", _DSIR_BUCKETS)
+    ff = feats.join(tagged.select("doc_id", "_is_target"), "doc_id")
+    lam_rows = (
+        _bucket_log_probs(
+            ff.where(F.col("_is_target")), spark, _DSIR_BUCKETS
+        )
+        .withColumnRenamed("lp_fp", "lp_t")
+        .join(
+            _bucket_log_probs(
+                ff.where(~F.col("_is_target")), spark, _DSIR_BUCKETS
+            ).withColumnRenamed("lp_fp", "lp_r"),
+            "bucket",
+        )
+        .select("bucket", (F.col("lp_t") - F.col("lp_r")).alias("lam_fp"))
+        .collect()  # n_buckets rows — bounded by contract
+    )
+    lam = {int(r.bucket): int(r.lam_fp) for r in lam_rows}
+    lam_arr = F.lit([lam[b] for b in range(_DSIR_BUCKETS)]).cast(
+        "array<bigint>"
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_dsir_docs_")
+    os.symlink(
+        os.path.abspath(f"{sf}/documents.parquet"),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(d.schema).parquet(stream_dir)
+    toks = _words("text")
+    bigrams = F.transform(
+        _adjacent_pairs(toks), lambda s: F.concat_ws(" ", s["w1"], s["w2"])
+    )
+    grams = F.concat(toks, bigrams)
+
+    def lam_of(g):
+        return F.element_at(
+            lam_arr,
+            (F.pmod(portable_hash60(g), F.lit(_DSIR_BUCKETS)) + 1).cast(
+                "int"
+            ),
+        )
+
+    out = (
+        stream.where(F.col("source") != "src0")
+        .select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_grams"),
+            F.aggregate(
+                grams,
+                F.lit(0).cast("long"),
+                lambda acc, g: acc + lam_of(g),
+            ).alias("weight_fp"),
+        )
+        .where(F.col("n_grams") > 0)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dsir_screen_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dsir_screen_out")
 
 
 # --- Exact fixed-point k-means -------------------------------------------
@@ -3471,6 +3565,61 @@ SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n,
        (max({{'c': conv, 't': turn}})).c AS last_conv,
        CAST((max({{'c': conv, 't': turn}})).t AS BIGINT) AS last_turn
 FROM j GROUP BY subj, pred, obj
+"""
+
+
+def _kg_temporal_activity(spark, sf):
+    """Entity activity timeline over the ACTUAL KG output: for every
+    canonical entity in either role (subject or object), the number
+    of facts it participates in, total mention occurrences, and the
+    first/last turn + active span — read straight off the provenance
+    structs (first_seen/last_seen) the pipeline aggregates per
+    triple, i.e. the 'when was this entity alive' view a temporal KG
+    serves. The oracle recomputes everything from the closed-form
+    planted occurrence set."""
+    from batch_import_spark.pipeline.kg import run_kg_pipeline
+    from batch_import_spark.sources.transcripts import alias_dict_df
+
+    t = _planted_transcripts_full(spark, sf)
+    edges = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
+
+    def role(col):
+        return edges.select(
+            F.col(col).alias("entity"),
+            F.col("n_occurrences").cast("long").alias("n"),
+            F.col("first_seen.turn_idx").cast("long").alias("ft"),
+            F.col("last_seen.turn_idx").cast("long").alias("lt"),
+        )
+
+    return (
+        role("subj")
+        .unionAll(role("obj"))
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum("n").cast("long").alias("n_occ"),
+            F.min("ft").cast("long").alias("first_turn"),
+            F.max("lt").cast("long").alias("last_turn"),
+            (F.max("lt") - F.min("ft")).cast("long").alias("active_span"),
+        )
+    )
+
+
+_KG_TEMPORAL_SQL = f"""
+WITH p AS (SELECT doc_id, subj, pred, obj FROM ({_PLANT_SQL})),
+tri AS (
+  SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(doc_id) AS BIGINT) AS ft, CAST(MAX(doc_id) AS BIGINT) AS lt
+  FROM p GROUP BY 1, 2, 3
+),
+u AS (SELECT subj AS entity, n, ft, lt FROM tri
+      UNION ALL SELECT obj, n, ft, lt FROM tri)
+SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(n) AS BIGINT) AS n_occ,
+       CAST(MIN(ft) AS BIGINT) AS first_turn,
+       CAST(MAX(lt) AS BIGINT) AS last_turn,
+       CAST(MAX(lt) - MIN(ft) AS BIGINT) AS active_span
+FROM u GROUP BY entity
 """
 
 
@@ -6827,6 +6976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_prediction": _kg_link_prediction,
         "kg_negative_samples": _kg_negative_samples,
         "kg_edge_provenance": _kg_edge_provenance,
+        "kg_temporal_activity": _kg_temporal_activity,
+        "stream_dsir_screen": _stream_dsir_screen,
         "kg_precision_recall": _kg_precision_recall,
         "kg_degree_stats": _kg_degree_stats,
         "stream_kg_windowed": _stream_kg_windowed,
@@ -6971,6 +7122,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_prediction": _KG_LINKPRED_SQL,
         "kg_negative_samples": _KG_NEG_SQL,
         "kg_edge_provenance": _KG_PROVENANCE_SQL,
+        "kg_temporal_activity": _KG_TEMPORAL_SQL,
+        "stream_dsir_screen": _DSIR_WEIGHTS_SQL,
         "kg_precision_recall": _KG_PR_SQL,
         "kg_degree_stats": _KG_DEGREE_SQL,
         "stream_kg_windowed": _STREAM_KG_SQL,

@@ -154,6 +154,7 @@ def main() -> int:
         "cluster_balanced_sample",
         "tokenizer_fertility",
         "unimax_budget",
+        "kg_temporal_activity",
     ]
     for name in bench_queries:
         t0 = time.time()

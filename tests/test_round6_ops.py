@@ -95,3 +95,39 @@ def test_tokenizer_fertility_entry(spark):
     # the unigram corpus is the planted one (one extra compound word
     # per eligible doc) so its word total exceeds the raw corpus
     assert rows["unigram"].total_words > rows["bpe"].total_words
+
+
+def test_stream_dsir_equals_batch_weights(spark):
+    """Frozen-model streaming screen == batch dsir_weights, row for
+    row (the stream_quality_screen parity discipline)."""
+    import __spark_entry__ as E
+    from batch_import_spark.operators.dsir import dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_grams, r.weight_fp)
+        for r in E._stream_dsir_screen(spark, sf).collect()
+    }
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {
+        r.doc_id: (r.n_grams, r.weight_fp)
+        for r in dsir_weights(
+            d, F.col("source") == "src0", n_buckets=E._DSIR_BUCKETS
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_kg_temporal_activity_invariants(spark):
+    import __spark_entry__ as E
+
+    rows = E._kg_temporal_activity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.first_turn <= r.last_turn
+        assert r.active_span == r.last_turn - r.first_turn
+        assert r.n_occ >= r.n_facts >= 1
+    # every canonical entity is a P/O/Tool surface
+    assert all(
+        r.entity.startswith(("P", "O", "Tool")) for r in rows
+    )
