@@ -696,6 +696,83 @@ SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <
 """
 
 
+def _hard_negatives(spark, sf):
+    """Hard-negative mining for contrastive / retrieval training
+    (similarity.py hard_negatives): per query vector, the exact
+    top-5 most-similar vectors with a DIFFERENT label — the
+    boundary-hugging negatives an embedding model actually learns
+    from. Brute-force exact over a broadcast query set (the
+    ann_cosine_topk plan); composes behind ivf_pq_topk candidate
+    pruning at scale."""
+    from batch_import_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negatives(emb, q, k=5).select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine"), 4).alias("cos4")
+    )
+
+
+_HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.ql
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <= 5
+"""
+
+
+def _curriculum_order(spark, sf):
+    """Deterministic curriculum ordering (sampling.py
+    curriculum_order): visit easy → hard length stages in sequence
+    (fixed n_chars thresholds — engine-portable, unlike data-
+    dependent quantiles) while decorrelating within each stage by
+    the portable content hash; the reproducible training-order
+    permutation a dataloader consumes."""
+    from batch_import_spark.operators.sampling import curriculum_order
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    stage = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 300, 1)
+        .otherwise(2)
+    )
+    return curriculum_order(d, stage)
+
+
+_CURRICULUM_ORDER_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 150 THEN 0
+              WHEN n_chars < 300 THEN 1 ELSE 2 END AS stage,
+         ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM documents
+)
+SELECT doc_id, CAST(stage AS INT) AS stage,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+         AS curriculum_rank
+FROM s
+"""
+
+
 def _text_quality(spark, sf):
     """Full quality-feature surface (C4/Gopher-style signals).
 
@@ -6229,25 +6306,79 @@ def _ivf_pq(spark, sf):
     ).select("query_id", "vec_id", "rank", "adc_dist")
 
 
-def _ivf_pq_oracle_sql(
+def _pq_code_dedup(spark, sf):
+    """Quantization-grain near-duplicate sets: vectors whose frozen
+    IVF-PQ encodings agree EXACTLY (same cell, same 8 sub-codes) are
+    duplicates at the index's own resolution — dedup with NO pair
+    join, no threshold, no LSH banding: one groupBy on the
+    (cell, code) fingerprint, the cheapest possible near-dup pass at
+    100 TB (the fingerprint is 4 bytes/vector and the groupBy is
+    map-side combinable). The corpus is planted with exact copies
+    (every 50th vector re-ingested under id+10^6 — the synthetic
+    embeddings have no natural code collisions, so the planted twins
+    make the dup groups real and closed-form); quantizers are frozen
+    on the ORIGINAL corpus (high-id copies cannot disturb the
+    lowest-id seed windows, which is what lets both engines share
+    the proven ivf_pq codes replay)."""
+    from batch_import_spark.operators.similarity import (
+        ivf_seed_centroids,
+        pq_codebook_from_corpus,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    centroids = ivf_seed_centroids(emb, 16)
+    book = pq_codebook_from_corpus(emb, centroids, 8, 16, skip=16)
+    enc = pq_encode(corpus, centroids, book, 8)
+    fp = enc.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("code_key"),
+    )
+    return (
+        fp.groupBy("cell", "code_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("vec_id").cast("long").alias("keeper_id"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+def _pq_codes_base_sql(
     dim: int = 64,
     n_cells: int = 16,
-    n_probe: int = 4,
     m_sub: int = 8,
     k_codes: int = 16,
-    k: int = 5,
     scale: int = 1000,
+    plant_copies: bool = False,
 ) -> str:
-    """DuckDB replay of the full IVF-PQ path: same float centroid
-    seeds + argmax-dot cells (the proven IVF oracle), then integer
-    residuals (floor(x*scale) - floor(c*scale)), data-seeded codebook
-    (residuals of the k_codes ids after the centroid seeds), argmin-L2
-    codes with lowest-code tie-break, and BIGINT ADC — register-exact
-    end to end."""
+    """CTE chain through the per-vector PQ codes (c → cent → qcent →
+    assign → rq → book → sub → codes) — shared by the ANN oracle and
+    the code-grain dedup oracle. ``plant_copies`` re-ingests every
+    50th vector under id+10^6 (the dedup entry's planted twins);
+    the high ids stay outside the lowest-id seed/codebook windows,
+    so the trained quantizers are identical either way."""
     ds = dim // m_sub
+    plant = (
+        """
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id % 50 = 0"""
+        if plant_copies
+        else ""
+    )
     return f"""
 WITH c AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings{plant}
 ),
 cent AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
@@ -6290,7 +6421,26 @@ codes AS MATERIALIZED (
              b.j ASC) AS rn
     FROM rq r CROSS JOIN sub s CROSS JOIN book b
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_pq_oracle_sql(
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    k: int = 5,
+    scale: int = 1000,
+) -> str:
+    """DuckDB replay of the full IVF-PQ path: same float centroid
+    seeds + argmax-dot cells (the proven IVF oracle), then integer
+    residuals (floor(x*scale) - floor(c*scale)), data-seeded codebook
+    (residuals of the k_codes ids after the centroid seeds), argmin-L2
+    codes with lowest-code tie-break, and BIGINT ADC — register-exact
+    end to end."""
+    ds = dim // m_sub
+    return _pq_codes_base_sql(dim, n_cells, m_sub, k_codes, scale) + f""",
 probe AS MATERIALIZED (
   SELECT query_id, qe, cell FROM (
     SELECT q.vec_id AS query_id, q.e AS qe, cent.cell,
@@ -6930,6 +7080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _dedup_groups,
         "dedup_incremental": _dedup_incremental,
         "ann_cosine_topk": _ann_cosine_topk,
+        "hard_negatives": _hard_negatives,
+        "curriculum_order": _curriculum_order,
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
         "repetition_screen_para": _repetition_screen_para,
@@ -7019,6 +7171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann,
         "ivf_ann_topk": _ivf_ann,
         "ivf_pq_topk": _ivf_pq,
+        "pq_code_dedup": _pq_code_dedup,
         "ivf_pq_incremental": _ivf_pq_incremental,
         "stream_ann_incremental": _stream_ann_incremental,
         "pq_recall_audit": _pq_recall_audit,
@@ -7077,6 +7230,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _DEDUPG_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "hard_negatives": _HARD_NEGATIVES_SQL,
+        "curriculum_order": _CURRICULUM_ORDER_SQL,
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
         "repetition_screen_para": _REPETITION_PARA_SQL,
@@ -7165,6 +7320,19 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_oracle_sql(),
+        "pq_code_dedup": _pq_codes_base_sql(plant_copies=True) + """,
+fp AS (
+  SELECT co.vec_id, a.cell,
+         string_agg(CAST(co.j AS VARCHAR), ',' ORDER BY co.m) AS code_key
+  FROM codes co JOIN assign a USING (vec_id)
+  GROUP BY co.vec_id, a.cell
+)
+SELECT CAST(cell AS INT) AS cell, code_key,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(vec_id) AS BIGINT) AS keeper_id
+FROM fp GROUP BY cell, code_key
+HAVING COUNT(*) >= 2
+""",
         "ivf_pq_incremental": _ivf_pq_incremental_sql(),
         "stream_ann_incremental": _ivf_pq_incremental_sql(),
         "pq_recall_audit": _PQ_RECALL_SQL,

@@ -291,3 +291,33 @@ def unimax_budget(
             F.expr("(quota_tokens * 1000000L) div n_tokens"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    stage_col: Column,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic curriculum ordering: a global training order
+    that visits stages (easy → hard buckets, e.g. by length or
+    quality score) in sequence while DECORRELATING within each stage
+    by the portable content hash — the standard curriculum +
+    shuffle-within-stage recipe, reproducible across engines, runs,
+    and partitionings (same contract as hash_sample). Output:
+    (id, stage, curriculum_rank).
+
+    ``stage_col`` must be an engine-portable integer expression
+    (fixed thresholds, not data-dependent quantiles). One global
+    rank-ordering window — at 100 TB materialize per-stage ranks
+    instead (rank within stage + stage offsets) to avoid the single
+    ordered exchange; semantics identical."""
+    h = portable_hash60(
+        F.concat(F.lit(str(seed) + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.orderBy(stage_col.asc(), h.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col),
+        stage_col.cast("int").alias("stage"),
+        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+    )

@@ -843,3 +843,55 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training:
+    per query, the exact top-k most-similar vectors whose LABEL
+    differs from the query's — the negatives closest to the decision
+    boundary, the ones that actually move an embedding model
+    (in-batch random negatives are mostly trivial). Returns
+    (query_id, vec_id, cosine, rank) with the cosine_topk
+    round-then-rank tie discipline.
+
+    Brute-force exact over a broadcast query set (the cosine_topk
+    plan — corpus scanned once, no shuffle); at 100 TB the same
+    ranking composes behind ivf_pq_topk candidate pruning instead of
+    the full scan."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

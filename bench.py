@@ -155,6 +155,9 @@ def main() -> int:
         "tokenizer_fertility",
         "unimax_budget",
         "kg_temporal_activity",
+        "pq_code_dedup",
+        "hard_negatives",
+        "curriculum_order",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -131,3 +131,59 @@ def test_kg_temporal_activity_invariants(spark):
     assert all(
         r.entity.startswith(("P", "O", "Tool")) for r in rows
     )
+
+
+def test_hard_negatives_cross_label_only(spark):
+    from batch_import_spark.operators.similarity import hard_negatives
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 1),   # nearest to 0, other label
+            (2, [0.9, 0.44], 0),    # nearer than 3 but SAME label
+            (3, [0.0, 1.0], 1),
+            (4, [-1.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    rows = sorted(
+        hard_negatives(vecs, q, k=3).collect(), key=lambda r: r.rank
+    )
+    # only labels != 0 are eligible: {1, 3, 4}, ranked by cosine
+    assert [r.vec_id for r in rows] == [1, 3, 4]
+    assert rows[0].cosine > rows[1].cosine > rows[2].cosine
+
+
+def test_curriculum_order_stages_and_permutation(spark):
+    import __spark_entry__ as E
+
+    rows = E._curriculum_order(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert sorted(r.curriculum_rank for r in rows) == list(range(1, n + 1))
+    # stage blocks are contiguous: every stage-s rank < every (s+1) rank
+    by_stage: dict[int, list[int]] = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.curriculum_rank)
+    stages = sorted(by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) < min(by_stage[b])
+
+
+def test_pq_code_dedup_planted_twins(spark):
+    import __spark_entry__ as E
+
+    groups = E._pq_code_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert groups  # planted copies guarantee non-vacuity
+    for g in groups:
+        assert g.n_members >= 2
+    # every planted twin (id, id+1e6) must share a group: keeper is
+    # the original id and the group holds its copy
+    keepers = {g.keeper_id for g in groups}
+    emb_n = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    planted = {i for i in range(0, emb_n, 50)}
+    assert planted <= keepers
