@@ -19,7 +19,7 @@ Determinism contract (both engines replay bit-for-bit):
   60-bit portable hash, operators/sketches.py:35 — non-negative, so
   ``%`` and ``pmod`` agree).
 - Logs are the fixed-point integer log2 of functions/unigram.py
-  (``ilog2_fp_col``) — no libm in cross-engine contracts (the
+  (``ilog2_fp``) — no libm in cross-engine contracts (the
   operators/lm.py discipline). Add-one smoothing over the full
   bucket grid:
 
@@ -49,7 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from batch_import_spark.functions.unigram import ilog2_fp_col
+from batch_import_spark.functions.unigram import ilog2_fp
 from batch_import_spark.operators.lm import _adjacent_pairs, _words
 from batch_import_spark.operators.sketches import portable_hash60
 
@@ -91,25 +91,28 @@ def _bucket_log_probs(
 ) -> DataFrame:
     """(bucket, lp_fp): add-one-smoothed fixed-point log2 probability
     per bucket over the FULL 0..B-1 grid (zero-count buckets get the
-    smoothed floor)."""
-    grid = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    counts = feats.groupBy("bucket").agg(
-        F.sum(count_col).cast("long").alias("c")
-    )
-    full = grid.join(counts, "bucket", "left").select(
-        "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
-    total = full.agg(
-        (F.sum("c") + F.lit(n_buckets)).cast("long").alias("_t")
-    )
-    return full.crossJoin(F.broadcast(total)).select(
-        "bucket",
-        (
-            ilog2_fp_col(F.col("c") + 1) - ilog2_fp_col(F.col("_t"))
-        ).alias("lp_fp"),
-    )
+    smoothed floor).
+
+    The bucket count table is n_buckets rows BY CONTRACT, so the log
+    runs driver-side on the collected counts (``ilog2_fp``, pinned
+    equal to its column twin in tests/test_unigram.py): the unrolled
+    integer-log COLUMN tree costs ~2 s of analysis/codegen per query
+    at any data size (measured at sf0.1), which dominated the whole
+    DSIR entry when paid four times. One n_buckets-row collect per LM
+    is the same bounded-driver-traffic discipline as the BPE/unigram
+    vocab folds."""
+    counts = {
+        int(r.bucket): int(r.c)
+        for r in feats.groupBy("bucket")
+        .agg(F.sum(count_col).cast("long").alias("c"))
+        .collect()
+    }
+    total = sum(counts.values()) + n_buckets
+    it = ilog2_fp(total)
+    rows = [
+        (b, ilog2_fp(counts.get(b, 0) + 1) - it) for b in range(n_buckets)
+    ]
+    return spark.createDataFrame(rows, "bucket int, lp_fp long")
 
 
 def dsir_weights(
@@ -128,7 +131,11 @@ def dsir_weights(
     tagged = docs.withColumn("_is_target", target_pred)
     feats = hashed_ngram_counts(tagged, id_col, text_col, n_buckets)
     flag = tagged.select(id_col, "_is_target")
-    ff = feats.join(flag, id_col)
+    # the featurize explode + groupBy feeds THREE consumers (target
+    # LM, raw LM, final scoring) — checkpoint it once or Spark
+    # re-runs the whole md5-per-gram scan per consumer (3x cost,
+    # measured 13 s -> ~5 s at sf0.1)
+    ff = feats.join(flag, id_col).localCheckpoint(eager=False)
     lam = (
         _bucket_log_probs(ff.where(F.col("_is_target")), spark, n_buckets)
         .withColumnRenamed("lp_fp", "lp_t")
