@@ -2186,8 +2186,9 @@ def _stream_dsir_screen(spark, sf):
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
     tagged = d.withColumn("_is_target", F.col("source") == "src0")
-    feats = hashed_ngram_counts(tagged, "doc_id", "text", _DSIR_BUCKETS)
-    ff = feats.join(tagged.select("doc_id", "_is_target"), "doc_id")
+    ff = hashed_ngram_counts(
+        tagged, "doc_id", "text", _DSIR_BUCKETS, carry_cols=("_is_target",)
+    ).localCheckpoint(eager=False)
     lam_rows = (
         _bucket_log_probs(
             ff.where(F.col("_is_target")), spark, _DSIR_BUCKETS

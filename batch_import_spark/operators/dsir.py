@@ -61,24 +61,32 @@ def hashed_ngram_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket, cnt): unigram + bigram tokens hashed into
-    ``n_buckets`` buckets. Blank docs yield no rows (both engines)."""
+    """(id, *carry_cols, bucket, cnt): unigram + bigram tokens hashed
+    into ``n_buckets`` buckets. Blank docs yield no rows (both
+    engines). ``carry_cols`` ride through the explode + groupBy —
+    per-doc flags (e.g. the DSIR target flag) are functionally
+    dependent on the id, so carrying them is free and saves a
+    doc-keyed join back (one whole SortMergeJoin at corpus scale)."""
     toks = _words(text_col)
     bigrams = F.transform(
         _adjacent_pairs(toks), lambda s: F.concat_ws(" ", s["w1"], s["w2"])
     )
+    carry = [F.col(c) for c in carry_cols]
     return (
         docs.select(
-            F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("gram")
+            F.col(id_col), *carry,
+            F.explode(F.concat(toks, bigrams)).alias("gram"),
         )
         .select(
             id_col,
+            *carry,
             F.pmod(portable_hash60(F.col("gram")), F.lit(n_buckets)).alias(
                 "bucket"
             ),
         )
-        .groupBy(id_col, "bucket")
+        .groupBy(id_col, *carry_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
@@ -129,13 +137,13 @@ def dsir_weights(
     target)."""
     spark = docs.sparkSession
     tagged = docs.withColumn("_is_target", target_pred)
-    feats = hashed_ngram_counts(tagged, id_col, text_col, n_buckets)
-    flag = tagged.select(id_col, "_is_target")
     # the featurize explode + groupBy feeds THREE consumers (target
     # LM, raw LM, final scoring) — checkpoint it once or Spark
     # re-runs the whole md5-per-gram scan per consumer (3x cost,
     # measured 13 s -> ~5 s at sf0.1)
-    ff = feats.join(flag, id_col).localCheckpoint(eager=False)
+    ff = hashed_ngram_counts(
+        tagged, id_col, text_col, n_buckets, carry_cols=("_is_target",)
+    ).localCheckpoint(eager=False)
     lam = (
         _bucket_log_probs(ff.where(F.col("_is_target")), spark, n_buckets)
         .withColumnRenamed("lp_fp", "lp_t")
