@@ -2178,7 +2178,7 @@ def _stream_dsir_screen(spark, sf):
     import tempfile
 
     from batch_import_spark.operators.dsir import (
-        _bucket_log_probs,
+        dsir_lambda_map,
         hashed_ngram_counts,
     )
     from batch_import_spark.operators.lm import _adjacent_pairs, _words
@@ -2189,21 +2189,7 @@ def _stream_dsir_screen(spark, sf):
     ff = hashed_ngram_counts(
         tagged, "doc_id", "text", _DSIR_BUCKETS, carry_cols=("_is_target",)
     ).localCheckpoint(eager=False)
-    lam_rows = (
-        _bucket_log_probs(
-            ff.where(F.col("_is_target")), spark, _DSIR_BUCKETS
-        )
-        .withColumnRenamed("lp_fp", "lp_t")
-        .join(
-            _bucket_log_probs(
-                ff.where(~F.col("_is_target")), spark, _DSIR_BUCKETS
-            ).withColumnRenamed("lp_fp", "lp_r"),
-            "bucket",
-        )
-        .select("bucket", (F.col("lp_t") - F.col("lp_r")).alias("lam_fp"))
-        .collect()  # n_buckets rows — bounded by contract
-    )
-    lam = {int(r.bucket): int(r.lam_fp) for r in lam_rows}
+    lam = dsir_lambda_map(ff, _DSIR_BUCKETS)  # bounded by contract
     lam_arr = F.lit([lam[b] for b in range(_DSIR_BUCKETS)]).cast(
         "array<bigint>"
     )

@@ -109,6 +109,17 @@ def _bucket_log_probs(
     DSIR entry when paid four times. One n_buckets-row collect per LM
     is the same bounded-driver-traffic discipline as the BPE/unigram
     vocab folds."""
+    lp = _bucket_log_prob_map(feats, n_buckets, count_col)
+    return spark.createDataFrame(
+        sorted(lp.items()), "bucket int, lp_fp long"
+    )
+
+
+def _bucket_log_prob_map(
+    feats: DataFrame, n_buckets: int, count_col: str = "cnt"
+) -> dict[int, int]:
+    """The driver-side core of ``_bucket_log_probs``: bucket →
+    add-one-smoothed fixed-point log2 probability."""
     counts = {
         int(r.bucket): int(r.c)
         for r in feats.groupBy("bucket")
@@ -117,10 +128,20 @@ def _bucket_log_probs(
     }
     total = sum(counts.values()) + n_buckets
     it = ilog2_fp(total)
-    rows = [
-        (b, ilog2_fp(counts.get(b, 0) + 1) - it) for b in range(n_buckets)
-    ]
-    return spark.createDataFrame(rows, "bucket int, lp_fp long")
+    return {
+        b: ilog2_fp(counts.get(b, 0) + 1) - it for b in range(n_buckets)
+    }
+
+
+def dsir_lambda_map(
+    ff: DataFrame, n_buckets: int, target_flag: str = "_is_target"
+) -> dict[int, int]:
+    """bucket → lam_fp = log p_target - log q_raw, the frozen DSIR
+    importance model (n_buckets integers — shippable as a literal to
+    a streaming screen or broadcast as a tiny table)."""
+    lp_t = _bucket_log_prob_map(ff.where(F.col(target_flag)), n_buckets)
+    lp_r = _bucket_log_prob_map(ff.where(~F.col(target_flag)), n_buckets)
+    return {b: lp_t[b] - lp_r[b] for b in range(n_buckets)}
 
 
 def dsir_weights(
@@ -144,16 +165,9 @@ def dsir_weights(
     ff = hashed_ngram_counts(
         tagged, id_col, text_col, n_buckets, carry_cols=("_is_target",)
     ).localCheckpoint(eager=False)
-    lam = (
-        _bucket_log_probs(ff.where(F.col("_is_target")), spark, n_buckets)
-        .withColumnRenamed("lp_fp", "lp_t")
-        .join(
-            _bucket_log_probs(
-                ff.where(~F.col("_is_target")), spark, n_buckets
-            ).withColumnRenamed("lp_fp", "lp_r"),
-            "bucket",
-        )
-        .select("bucket", (F.col("lp_t") - F.col("lp_r")).alias("lam_fp"))
+    lam = spark.createDataFrame(
+        sorted(dsir_lambda_map(ff, n_buckets).items()),
+        "bucket int, lam_fp long",
     )
     return (
         ff.where(~F.col("_is_target"))
