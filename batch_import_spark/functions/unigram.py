@@ -261,6 +261,93 @@ def viterbi_segment_expr(
     ).otherwise(best)
 
 
+def viterbi_segment_py(
+    word: str,
+    costs: dict[str, int],
+    max_piece_len: int = 8,
+    max_word_len: int = MAX_WORD_LEN,
+) -> tuple[int, int, str]:
+    """Pure-Python twin of ``viterbi_segment_expr`` — the identical
+    DP (same DEAD sentinel, same (cost, np, path) tuple-min
+    tie-break, same [UNK] rules), byte-for-byte (equality
+    pytest-pinned). Used by the driver-gated segmentation path."""
+    if len(word) > max_word_len:
+        return (0, 1, "[UNK]")
+    DEAD = 1 << 60
+    arr: list[tuple[int, int, str]] = [(0, 0, "")]
+    for i in range(1, len(word) + 1):
+        cands = []
+        for l in range(1, min(max_piece_len, i) + 1):
+            c0, np0, p0 = arr[i - l]
+            piece = word[i - l : i]
+            pc = costs.get(piece)
+            if pc is None:
+                continue
+            cands.append(
+                (c0 + pc, np0 + 1, p0 + (SEP if np0 > 0 else "") + piece)
+            )
+        arr.append(min(cands) if cands else (DEAD, 0, ""))
+    cost, np, path = arr[len(word)]
+    if cost >= DEAD:
+        return (0, 1, "[UNK]")
+    return (cost, np, path)
+
+
+#: distinct-word tables under this size segment driver-side — the
+#: Viterbi expression fold costs seconds of analysis/codegen per
+#: query at ANY data size (the functions/bpe.py threshold-gate
+#: rationale); beyond it the expression fold runs distributed.
+DRIVER_SEGMENT_THRESHOLD = 65536
+
+
+def segment_words(
+    words: DataFrame,
+    costs: dict[str, int],
+    max_piece_len: int = 8,
+    max_word_len: int = MAX_WORD_LEN,
+    driver_threshold: int = DRIVER_SEGMENT_THRESHOLD,
+) -> DataFrame:
+    """(word, np, cost, path): Viterbi-segment every row of a
+    distinct-word table. Under ``driver_threshold`` rows the DP runs
+    driver-side on the collected words (``viterbi_segment_py``,
+    byte-identical, vocab-bounded traffic — the bpe_train gate
+    pattern); above it, as the expression fold."""
+    spark = words.sparkSession
+    carry_n = "n" in words.columns
+    # ONE pass decides the gate and fetches the data: limit(T+1)
+    # returns the whole table iff it has <= T rows (a separate
+    # count() + collect() would run the upstream distinct twice)
+    head = words.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        rows = []
+        for r in head:
+            cost, np, path = viterbi_segment_py(
+                r.word, costs, max_piece_len, max_word_len
+            )
+            rows.append(
+                (r.word, int(r.n), np, cost, path)
+                if carry_n
+                else (r.word, np, cost, path)
+            )
+        schema = (
+            "word string, n long, np int, cost long, path string"
+            if carry_n
+            else "word string, np int, cost long, path string"
+        )
+        return spark.createDataFrame(rows, schema)
+    seg = words.withColumn(
+        "s",
+        viterbi_segment_expr(F.col("word"), costs, max_piece_len, max_word_len),
+    )
+    return seg.select(
+        "word",
+        *(["n"] if carry_n else []),
+        F.col("s.np").alias("np"),
+        F.col("s.cost").alias("cost"),
+        F.col("s.path").alias("path"),
+    )
+
+
 def _seed_and_usage(
     docs: DataFrame,
     text_col: str,
@@ -294,14 +381,9 @@ def _seed_and_usage(
     seed = chars.unionAll(multi).localCheckpoint(eager=False)
     seed_counts = {r.piece: int(r.weight) for r in seed.collect()}
     seed_costs = piece_costs(seed_counts)
-    seg = words.withColumn(
-        "s",
-        viterbi_segment_expr(
-            F.col("word"), seed_costs, max_piece_len, max_word_len
-        ),
-    )
+    seg = segment_words(words, seed_costs, max_piece_len, max_word_len)
     usage_df = (
-        seg.select("n", F.explode(F.split("s.path", SEP)).alias("piece"))
+        seg.select("n", F.explode(F.split("path", SEP)).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("n").cast("long").alias("usage"))
     )
@@ -412,21 +494,14 @@ def unigram_tokenize(
         lambda w: w != F.lit(""),
     )
     docw = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
-    segmap = (
-        docw.select("word")
-        .distinct()
-        .withColumn(
-            "s",
-            viterbi_segment_expr(
-                F.col("word"), final_costs, max_piece_len, max_word_len
-            ),
-        )
-        .select(
-            "word",
-            F.col("s.np").alias("np"),
-            F.col("s.cost").alias("cost"),
-            F.translate(F.col("s.path"), SEP, " ").alias("seg"),
-        )
+    segmap = segment_words(
+        docw.select("word").distinct(), final_costs, max_piece_len,
+        max_word_len,
+    ).select(
+        "word",
+        "np",
+        "cost",
+        F.translate(F.col("path"), SEP, " ").alias("seg"),
     )
     joined = docw.join(F.broadcast(segmap), "word")
     return (

@@ -173,3 +173,37 @@ def test_entry_planted_compound_segments_multipiece(spark):
     costs = E._unigram_costs_for(spark, sf)
     multi = [p for p in costs if len(p) > 1]
     assert multi, "pruned vocab has no multi-char pieces"
+
+
+def test_viterbi_py_twin_matches_expr(spark):
+    """Driver-gated segmentation must be byte-identical to the
+    expression fold — same DP, same DEAD sentinel, same
+    (cost, np, path) tie-break, same [UNK] rules."""
+    from batch_import_spark.functions.unigram import viterbi_segment_py
+
+    costs = {"a": 2, "b": 2, "c": 1, "ab": 3, "abc": 6, "x": 2, "y": 2,
+             "xy": 4}
+    words = ["abc", "cab", "xy", "aaa", "azb", "a" * 17, "b", "ab"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    via_expr = {
+        r.word: (r.s.cost, r.s.np, r.s.path)
+        for r in df.select(
+            "word", viterbi_segment_expr(F.col("word"), costs, 3, 16).alias("s")
+        ).collect()
+    }
+    for w in words:
+        assert viterbi_segment_py(w, costs, 3, 16) == via_expr[w], w
+
+
+def test_segment_words_driver_equals_expr_path(spark):
+    from batch_import_spark.functions.unigram import segment_words
+
+    costs = {"h": 3, "e": 3, "l": 2, "o": 4, "he": 5, "ll": 3, "hell": 9}
+    words = spark.createDataFrame(
+        [("hello", 3), ("hell", 2), ("he", 1)], "word string, n long"
+    )
+    a = sorted(map(tuple, segment_words(words, costs, 4, 16,
+                                        driver_threshold=100).collect()))
+    b = sorted(map(tuple, segment_words(words, costs, 4, 16,
+                                        driver_threshold=0).collect()))
+    assert a == b and len(a) == 3
