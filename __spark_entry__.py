@@ -757,6 +757,67 @@ def _curriculum_order(spark, sf):
     return curriculum_order(d, stage)
 
 
+def _zorder_layout(spark, sf):
+    """Z-order clustering audit over the events table
+    (operators/layout.py zorder_key): interleave (user_id, ts-minute)
+    into a Morton key, bucket by its top 6 bits (64 z-quadrants —
+    prospective files under an OPTIMIZE ZORDER layout), and report
+    each bucket's row count and per-dimension min/max span. Tight
+    per-bucket spans in BOTH dimensions are exactly what makes
+    min/max data skipping prune scans filtered on either column —
+    the property this query makes measurable and the oracle replays
+    with identical shift/mask arithmetic."""
+    from batch_import_spark.operators.layout import zorder_key
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    x = F.pmod(F.col("user_id"), F.lit(65536))
+    y = F.pmod(
+        F.floor(
+            F.col("ts").cast("timestamp").cast("long") / F.lit(60)
+        ).cast("long"),
+        F.lit(65536),
+    )
+    keyed = e.select(
+        x.alias("x"), y.alias("y"), zorder_key(x, y, 16).alias("zkey")
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zkey"), 26).cast("int").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )
+
+
+def _zorder_layout_sql(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((x >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((y >> {b}) & 1) << {2 * b + 1})")
+    return f"""
+WITH k AS (
+  SELECT user_id % 65536 AS x,
+         CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 60) AS BIGINT)
+           % 65536 AS y
+  FROM events
+),
+z AS (SELECT x, y, ({' + '.join(terms)}) AS zkey FROM k)
+SELECT CAST(zkey >> 26 AS INT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+"""
+
+
+_ZORDER_LAYOUT_SQL = _zorder_layout_sql()
+
+
 _CURRICULUM_ORDER_SQL = """
 WITH s AS (
   SELECT doc_id,
@@ -7069,6 +7130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "hard_negatives": _hard_negatives,
         "curriculum_order": _curriculum_order,
+        "zorder_layout": _zorder_layout,
         "text_quality": _text_quality,
         "repetition_screen": _repetition_screen,
         "repetition_screen_para": _repetition_screen_para,
@@ -7219,6 +7281,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "hard_negatives": _HARD_NEGATIVES_SQL,
         "curriculum_order": _CURRICULUM_ORDER_SQL,
+        "zorder_layout": _ZORDER_LAYOUT_SQL,
         "text_quality": _TEXTQ_SQL,
         "repetition_screen": _REPETITION_SQL,
         "repetition_screen_para": _REPETITION_PARA_SQL,

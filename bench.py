@@ -158,6 +158,7 @@ def main() -> int:
         "pq_code_dedup",
         "hard_negatives",
         "curriculum_order",
+        "zorder_layout",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -187,3 +187,22 @@ def test_pq_code_dedup_planted_twins(spark):
     ).count()
     planted = {i for i in range(0, emb_n, 50)}
     assert planted <= keepers
+
+
+def test_zorder_key_interleave_and_quadrant_locality(spark):
+    from batch_import_spark.operators.layout import zorder_key
+
+    # hand-check: x=0b11 (bits 0,1 -> even positions 0,2),
+    # y=0b10 (bit 1 -> odd position 3): key = 1 + 4 + 8 = 13
+    df = spark.createDataFrame([(3, 2)], "x long, y long")
+    k = df.select(zorder_key(F.col("x"), F.col("y"), 4).alias("k")).collect()
+    assert k[0].k == 13
+    # entry-level property: a 6-bit z-prefix fixes the top 3 bits of
+    # BOTH dimensions, so every bucket spans < 2^13 in x AND y
+    import __spark_entry__ as E
+
+    rows = E._zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.x_max - r.x_min < 8192
+        assert r.y_max - r.y_min < 8192
