@@ -335,12 +335,24 @@ def simhash_expr(
     pandas kernel: lowercase, whitespace split, empties dropped; docs
     with no tokens get signature 0.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    # explode the raw split array and drop empties with a codegen'd
+    # row Filter instead of an interpreted array-lambda filter (same
+    # token multiset; higher-order lambdas are CodegenFallback and
+    # cost ~35x a codegen'd row predicate — measured round 7)
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_sid"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
     )
-    exploded = df.select(F.col(id_col).alias("_sid"), F.explode(toks).alias("_tok"))
-    h = md5_token_hash(F.col("_tok"))
-    sums = exploded.groupBy("_sid").agg(
+    # hash ONCE per token in a separate projection: referencing the
+    # md5 expression inside all 60 aggregates would otherwise evaluate
+    # md5+conv 60x per token (CollapseProject keeps the projection
+    # because the alias is referenced repeatedly and is non-cheap)
+    hashed = exploded.select("_sid", md5_token_hash(F.col("_tok")).alias("_th"))
+    h = F.col("_th")
+    sums = hashed.groupBy("_sid").agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -399,6 +411,12 @@ def simhash_near_duplicates(
     else:
         sh = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
         sig_bits = 64
+    # materialize the signature table once: the block index feeds the
+    # bucket-cap stats, the join's left side AND its right side —
+    # without this each branch re-runs the full explode + 60-sum
+    # signature aggregation (plan-audited 4x in round 7). The table is
+    # (id, long) — O(corpus doc count), trivially materializable.
+    sh = sh.localCheckpoint(eager=False)
     n_blocks = max_hamming + 1
     if n_blocks > sig_bits:
         raise ValueError(f"max_hamming {max_hamming} too large for {sig_bits}-bit signature")
@@ -431,13 +449,19 @@ def simhash_near_duplicates(
         blocks, _ = cap_hot_buckets(blocks, ["blk"], max_bucket_size, eager_stats=False)
     left = blocks.select("blk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = blocks.select("blk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # verify BEFORE deduplicating: hamming is a pure function of the
+    # pair, so the filter commutes with the distinct — applying it
+    # first keeps the bit_count test inside the join's codegen stage
+    # and shrinks the dropDuplicates input from the full candidate
+    # volume (10^7-scale) to the true near-dup pair set (41.8 s -> ~0
+    # at sf1.0, round-7 measurement)
     return (
         left.join(right, "blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
