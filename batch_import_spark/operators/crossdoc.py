@@ -48,62 +48,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from batch_import_spark.operators.sketches import portable_hash60
-
 PPM = 1_000_000
 
 
 def _chunks_with_text(
     df: DataFrame, id_col: str, text_col: str, gram: int, mask: int
 ) -> DataFrame:
-    """cdc_chunks (packing.py:237) with the chunk substring carried —
-    same cut rule, same normalization, so fingerprints agree with the
-    chunk-inventory queries."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    d = df.select(F.col(id_col).alias("id"), norm.alias("_t")).where(
-        F.length("_t") > 0
-    )
-    n = F.length("_t")
-    positions = F.when(
-        n - (gram - 1) >= 2, F.sequence(F.lit(2), n - (gram - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(
-        positions,
-        lambda i: F.pmod(
-            portable_hash60(F.substring(F.col("_t"), i, gram)), F.lit(mask)
-        )
-        == 0,
-    )
-    d = d.select("id", "_t", F.concat(F.array(F.lit(1)), cuts).alias("_starts"))
-    d = d.select(
-        "id",
-        "_t",
-        "_starts",
-        F.explode(F.sequence(F.lit(0), F.size("_starts") - 1)).alias(
-            "chunk_idx"
-        ),
-    )
-    start = F.get("_starts", F.col("chunk_idx"))
-    nxt = F.coalesce(
-        F.get("_starts", F.col("chunk_idx") + 1), F.length("_t") + 1
-    )
-    chunk = F.col("_t").substr(start, nxt - start)
-    # sentinel proximity: the chunk plus `gram` chars of context on
-    # each side — cut positions depend on windows reaching up to
-    # gram-1 chars ahead, so this margin is exactly what makes chunk
-    # boundaries bit-stable away from removal seams (idempotence
-    # argument in the module doc)
-    ctx = F.col("_t").substr(
-        F.greatest(start - gram, F.lit(1)), (nxt - start) + 2 * gram
-    )
-    return d.select(
-        F.col("id"),
-        "chunk_idx",
-        chunk.alias("chunk"),
-        (nxt - start).cast("long").alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"),
-        ctx.contains("\x1f").alias("near_sentinel"),
-    )
+    """cdc_chunks (packing.py:237) with the chunk substring and the
+    sentinel-proximity flag carried — same cut rule, same
+    normalization (shared Arrow kernel, packing._cdc_rows), so
+    fingerprints agree with the chunk-inventory queries. The
+    sentinel-context margin is the chunk plus ``gram`` chars each
+    side — cut positions depend on windows reaching up to gram-1
+    chars ahead, so this margin is exactly what makes chunk
+    boundaries bit-stable away from removal seams (idempotence
+    argument in the module doc)."""
+    from batch_import_spark.operators.packing import _cdc_rows
+
+    return _cdc_rows(
+        df, id_col, text_col, gram, mask, with_text=True, min_len=1
+    ).withColumnRenamed(id_col, "id")
 
 
 def remove_repeated_substrings(
@@ -123,7 +87,12 @@ def remove_repeated_substrings(
     sentinel, collapsed and edge-trimmed — '' when everything was
     boilerplate).
     """
-    ch = _chunks_with_text(df, id_col, text_col, gram, mask)
+    # materialize the chunk table once: both the over-representation
+    # count and the flag join consume it, and without materialization
+    # each branch re-runs the whole CDC cut/fingerprint kernel
+    ch = _chunks_with_text(df, id_col, text_col, gram, mask).localCheckpoint(
+        eager=False
+    )
 
     # corpus-wide over-representation — scalars only in this shuffle.
     # Chunks containing or adjacent to a removal sentinel are exempt

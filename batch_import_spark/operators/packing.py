@@ -249,46 +249,118 @@ def cdc_chunks(
     chunks it touches — the chunk-level dedup/delta primitive
     (backup dedup, LLM near-dup at sub-document grain).
 
-    Pure expressions end-to-end: position filter -> boundary array ->
-    per-chunk substring + md5; narrow map, zero shuffle, engine-
-    portable (the oracle replays the identical cut rule). Output:
+    JVM-side normalization + one Arrow-batched cut/fingerprint kernel
+    (_cdc_rows): still a narrow map with zero shuffle, engine-portable
+    (the oracle replays the identical cut rule; hashlib.md5 is
+    bit-identical to the expression path — pinned by
+    tests/test_round7_cdc.py). Output:
     (id, chunk_idx, chunk_len, chunk_md5).
     """
-    from batch_import_spark.operators.sketches import portable_hash60
+    rows = _cdc_rows(df, id_col, text_col, gram, mask, with_text=False)
+    return rows.select(id_col, "chunk_idx", "chunk_len", "chunk_md5")
+
+
+def _cdc_cut_starts(s: str, gram: int, mask: int) -> list[int]:
+    """1-based chunk start positions of the normalized text ``s`` —
+    position 1 plus every i in 2..len-gram+1 whose gram-char window
+    hashes onto the mask. The hash is the first 60 bits of md5
+    (sketches.portable_hash60), taken mod ``mask`` — hashlib replays
+    it bit-for-bit (Python slicing counts code points exactly like
+    Spark's substring, and md5 runs over the same UTF-8 bytes)."""
+    import hashlib
+
+    starts = [1]
+    # substring(s, i, gram) == s[i-1 : i-1+gram] (1-based -> 0-based)
+    for i in range(2, len(s) - (gram - 1) + 1):
+        h = hashlib.md5(s[i - 1 : i - 1 + gram].encode("utf-8")).hexdigest()
+        if int(h[:15], 16) % mask == 0:
+            starts.append(i)
+    return starts
+
+
+def _cdc_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int,
+    mask: int,
+    with_text: bool,
+    min_len: int = 0,
+) -> DataFrame:
+    """CDC chunk rows via ONE Arrow-batched kernel.
+
+    The cut rule is a per-position md5 over a gram-char window; as a
+    higher-order array filter that is interpreted expression eval per
+    position (~35 us/element measured round 7 — 30+ s at sf1.0), while
+    hashlib.md5 over the same bytes is native code (~1 us). The text
+    is normalized IN THE JVM first (regexp_replace/lower/trim), so
+    Java regex semantics are preserved and the kernel only slices and
+    hashes. ``with_text`` additionally carries the chunk substring and
+    the sentinel-proximity flag crossdoc needs; ``min_len`` drops
+    normalized texts shorter than it (crossdoc's length > 0 filter).
+    """
+    import hashlib
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    d = df.select(F.col(id_col).alias("id"), norm.alias("_t"))
-    n = F.length("_t")
-    # cut positions: 2..len-gram+1 (never position 1 — that is always
-    # a chunk start); guarded sequence for short docs (negative-step
-    # inference trap on sequence(2, <2))
-    positions = F.when(
-        n - (gram - 1) >= 2, F.sequence(F.lit(2), n - (gram - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    cuts = F.filter(
-        positions,
-        lambda i: F.pmod(
-            portable_hash60(F.substring(F.col("_t"), i, gram)), F.lit(mask)
-        )
-        == 0,
-    )
-    d = d.select(
-        "id", "_t", F.concat(F.array(F.lit(1)), cuts).alias("_starts")
-    )
-    d = d.select(
-        "id",
-        "_t",
-        "_starts",
-        F.explode(F.sequence(F.lit(0), F.size("_starts") - 1)).alias("chunk_idx"),
-    )
-    start = F.get("_starts", F.col("chunk_idx"))
-    nxt = F.coalesce(
-        F.get("_starts", F.col("chunk_idx") + 1), F.length("_t") + 1
-    )
-    chunk = F.substring(F.col("_t"), start, nxt - start)
-    return d.select(
-        F.col("id").alias(id_col),
-        "chunk_idx",
-        (nxt - start).cast("long").alias("chunk_len"),
-        F.md5(chunk).alias("chunk_md5"),
-    )
+    d = df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
+    if min_len > 0:
+        d = d.where(F.length("_t") >= min_len)
+    # the normalized-doc table is narrow; fan it out to the session's
+    # parallelism when the source collapses to a few scan partitions
+    # (small parquet inputs) so the kernel uses every core
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+
+    id_field = df.schema[id_col].dataType
+    fields = [
+        T.StructField(id_col, id_field),
+        T.StructField("chunk_idx", T.IntegerType()),
+    ]
+    if with_text:
+        fields.append(T.StructField("chunk", T.StringType()))
+    fields += [
+        T.StructField("chunk_len", T.LongType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+    if with_text:
+        fields.append(T.StructField("near_sentinel", T.BooleanType()))
+    schema = T.StructType(fields)
+
+    def kernel(batches):
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for did, s in zip(pdf["_id"], pdf["_t"]):
+                if s is None:
+                    # NULL text: the expression path emits one row with
+                    # NULL chunk/len/md5 (CASE/size/coalesce null flow)
+                    out[id_col].append(did)
+                    out["chunk_idx"].append(0)
+                    out["chunk_len"].append(None)
+                    out["chunk_md5"].append(None)
+                    if with_text:
+                        out["chunk"].append(None)
+                        out["near_sentinel"].append(None)
+                    continue
+                starts = _cdc_cut_starts(s, gram, mask)
+                n = len(s)
+                for k, st in enumerate(starts):
+                    nxt = starts[k + 1] if k + 1 < len(starts) else n + 1
+                    chunk = s[st - 1 : nxt - 1]
+                    out[id_col].append(did)
+                    out["chunk_idx"].append(k)
+                    out["chunk_len"].append(nxt - st)
+                    out["chunk_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    if with_text:
+                        out["chunk"].append(chunk)
+                        # context: substr(max(st-gram,1), (nxt-st)+2*gram)
+                        # (crossdoc.py sentinel-stability margin)
+                        p = max(st - gram, 1)
+                        ctx = s[p - 1 : p - 1 + (nxt - st) + 2 * gram]
+                        out["near_sentinel"].append("\x1f" in ctx)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(kernel, schema)
