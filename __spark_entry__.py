@@ -2236,6 +2236,7 @@ def _stream_dsir_screen(spark, sf):
     selection). Output rows equal batch ``dsir_weights`` exactly;
     the oracle is the batch weights SQL."""
     import os
+    import shutil
     import tempfile
 
     from batch_import_spark.operators.dsir import (
@@ -2288,14 +2289,17 @@ def _stream_dsir_screen(spark, sf):
         )
         .where(F.col("n_grams") > 0)
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_dsir_screen_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_dsir_screen_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.table("stream_dsir_screen_out")
 
 

@@ -90,6 +90,16 @@ def ilog2_fp_col(n: Column, frac_bits: int = FRAC_BITS) -> Column:
     # (m appears twice in m*m, three more times downstream) — an
     # O(3^steps) expression tree that OOMs the driver during analysis
     n = n.cast("long")
+    # the double-based mantissa scaling below is exact only for
+    # inputs < 2^53; the Python/DuckDB twins use integer shifts, so
+    # larger inputs would silently diverge cross-engine — fail fast
+    # instead (raise_error keeps this a pure column expression)
+    n = F.when(
+        n >= F.lit(1 << 53),
+        F.raise_error(
+            F.lit("ilog2_fp_col: input >= 2^53 exceeds exact double range")
+        ).cast("long"),
+    ).otherwise(n)
     # 6-step binary search for b = floor(log2(n)): unrolled is fine
     # at this depth (the subtree triples per step — 3^6, not 3^16)
     v = n

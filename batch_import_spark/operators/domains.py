@@ -116,16 +116,19 @@ def domain_filter(
         j = j.join(unblocked, id_col, "left")
     else:
         j = j.withColumn("_rk", F.lit(1))
+    # cap=0 must mean "keep nothing", not "unlimited" — guard on None
+    # explicitly instead of Python falsiness
+    eff_cap = 2**62 if cap is None else cap
     return j.select(
         id_col,
         "host",
         "domain",
         "blocked",
-        (~F.col("blocked") & (F.col("_rk") <= F.lit(cap or 2**62))).alias(
+        (~F.col("blocked") & (F.col("_rk") <= F.lit(eff_cap))).alias(
             "keep"
         ),
         F.when(F.col("blocked"), F.concat(F.lit("blocked:"), F.col("_matched")))
-        .when(F.col("_rk") > F.lit(cap or 2**62), F.lit("over_cap"))
+        .when(F.col("_rk") > F.lit(eff_cap), F.lit("over_cap"))
         .otherwise(F.lit(""))
         .alias("reason"),
     )

@@ -46,8 +46,11 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from batch_import_spark.operators.similarity import (
     _nearest_cell,
@@ -63,7 +66,177 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _greedy_keepers(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 64) -> DataFrame:
+def _seq_dot_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """All pairwise dots of the rows of V (n x d) against the rows of
+    C (k x d) with the accumulation running over dimensions in
+    ascending order — each (i, j) entry performs EXACTLY the IEEE-754
+    step sequence of the JVM fold ``aggregate(zip_with(v, c, *),
+    0.0, +)``, so results are bit-identical to the expression path
+    (a plain matmul uses pairwise/blocked summation and is not)."""
+    out = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(V.shape[1]):
+        out += np.outer(V[:, d], C[:, d])
+    return out
+
+
+def _assign_cells_arrow(
+    base: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, v, cell, nrm) via one Arrow kernel — bit-identical to
+    ``withColumn("cell", _nearest_cell(...)).withColumn("nrm",
+    sqrt(dot(v, v)))`` (pinned by tests/test_round7_semdedup.py):
+
+    - per-cell scores accumulate over dimensions in ascending order
+      (same IEEE sequence as the zip_with fold);
+    - argmax ties break to the lowest cell (np.argmax returns the
+      first maximum, matching the (score, -cell) struct max), and a
+      NaN score wins every comparison in both engines;
+    - malformed rows (length != centroid dim, or a NULL element)
+      make every cell score NULL in the expression path, whose
+      struct-max then lands on cell 0 with a NULL norm — replayed
+      verbatim here.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    id_type = base.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("v", base.schema["v"].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            # wrong-length vectors: the zip_with null-padding makes
+            # every CELL SCORE null, whose struct-max is cell 0 — but
+            # the self-norm zips the vector against itself (no
+            # padding) and stays real. Element NULLs arrive as NaN
+            # through Arrow and follow the NaN path (all-NaN scores
+            # -> cell 0; NaN norm), same as the JVM's NaN-is-greatest
+            # ordering. NULL vectors keep NULL norm.
+            cells = np.zeros(n, dtype=np.int32)
+            nrm_out: list = [None] * n
+            by_len: dict[int, list[int]] = {}
+            for i, v in enumerate(pdf["v"]):
+                if v is not None:
+                    by_len.setdefault(len(v), []).append(i)
+            for ln, idxs in by_len.items():
+                V = np.stack(
+                    [np.asarray(pdf["v"].iloc[i], dtype=np.float64) for i in idxs]
+                )
+                NB = np.zeros(len(idxs), dtype=np.float64)
+                for d in range(ln):
+                    NB += V[:, d] * V[:, d]
+                nv = np.sqrt(NB)
+                am = (
+                    np.argmax(_seq_dot_matrix(V, C), axis=1).astype(np.int32)
+                    if ln == dim
+                    else np.zeros(len(idxs), dtype=np.int32)
+                )
+                for j, i in enumerate(idxs):
+                    cells[i] = am[j]
+                    nrm_out[i] = float(nv[j])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "cell": cells,
+                    "nrm": nrm_out,
+                }
+            )
+
+    return base.mapInPandas(kernel, schema)
+
+
+def _cell_pairs_arrow(small: DataFrame, threshold: float) -> DataFrame:
+    """(cell, ia, ib) duplicate pairs — candidate cosines from a
+    per-cell Arrow kernel, the EXACT ``round(cos, 6) >= threshold``
+    verdict from the JVM on those cosines.
+
+    The kernel's cosines are bit-identical to the expression path:
+    pairwise dots accumulate over dimensions in ascending order
+    (_seq_dot_matrix — the zip_with fold's IEEE sequence), norms are
+    the pass-through ``nrm`` column, and the ``na*nb > 0`` guard is
+    replayed with the same division. The Python side prefilters with
+    a CONSERVATIVE margin (round to 6 decimals moves a value by at
+    most 5e-7, the margin is 1e-4) and forwards NaNs, so every pair
+    the JVM filter could accept reaches it; the filter itself — the
+    only decision — runs on unmodified float64 values in the JVM.
+    Cross-length and NULL-vector pairs have NULL cosines in the
+    expression path (zip_with null-padding) and are never emitted;
+    pairs form within a vector-length group only.
+    """
+    margin = float(threshold) - 1e-4
+    id_type = small.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("ia", id_type),
+            T.StructField("ib", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pairs form WITHIN a vector length only: a cross-length pair
+        # zip_with-pads to a NULL dot, so its cosine is NULL in the
+        # expression path and the round() filter drops it. NaN-element
+        # vectors keep their length and flow through as NaN cosines,
+        # which the JVM filter treats as greatest (Spark NaN
+        # ordering), same as the expression path.
+        empty = pd.DataFrame({"cell": [], "ia": [], "ib": [], "cos": []}).astype(
+            {"cell": "int32", "cos": "float64"}
+        )
+        pdf = pdf[[v is not None for v in pdf["v"]]]
+        if len(pdf) < 2:
+            return empty
+        cell = pdf["cell"].iloc[0]
+        outs = [empty]
+        for ln, grp in pdf.groupby([len(v) for v in pdf["v"]]):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("id", kind="mergesort")
+            ids = grp["id"].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in grp["v"]])
+            nrm = grp["nrm"].to_numpy(dtype=np.float64)
+            C = _seq_dot_matrix(V, V)
+            denom = np.outer(nrm, nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # Spark orders NaN greatest, so `NaN > 0` is TRUE in
+                # the expression path — a NaN denom takes the division
+                # branch (cos = NaN); numpy's NaN > 0 is False, so
+                # forward NaN denominators explicitly
+                cos = np.where((denom > 0) | np.isnan(denom), C / denom, 0.0)
+            iu, ju = np.triu_indices(len(ids), 1)
+            cs = cos[iu, ju]
+            keep = (cs >= margin) | np.isnan(cs)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "cell": np.full(int(keep.sum()), cell, dtype=np.int32),
+                        "ia": ids[iu[keep]],
+                        "ib": ids[ju[keep]],
+                        "cos": cs[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else empty
+
+    cand = small.select("cell", "id", "v", "nrm").groupBy("cell").applyInPandas(
+        kernel, schema
+    )
+    return cand.where(F.round(F.col("cos"), 6) >= threshold).select(
+        "cell", "ia", "ib"
+    )
+
+
+def _greedy_keepers(
+    pairs: DataFrame, nodes: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
     """Exact greedy keep-first verdict over a duplicate-pair graph.
 
     ``pairs``: (ia, ib) with ia < ib (similarity edges); ``nodes``:
@@ -91,6 +264,13 @@ def _greedy_keepers(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 64) ->
         "id", F.lit("K").alias("st")
     ).unionAll(targets.select("id", F.lit("U").alias("st")))
     status = status.localCheckpoint(eager=False)
+    if max_rounds is None:
+        # the dependence depth of an id-monotone chain can reach the
+        # undecided-node count (each round only advances one level),
+        # so a legitimate input must never trip the bound — derive it
+        # from the initial U-set size (the count scans the
+        # just-materialized pair checkpoint, one cheap job)
+        max_rounds = max(64, targets.count())
 
     for _ in range(max_rounds):
         nbr = (
@@ -166,12 +346,12 @@ def semantic_dedup(
     ).localCheckpoint(eager=False)
     if centroids is None:
         centroids = ivf_seed_centroids(base, n_cells, "id", "v")
-    c = base.withColumn("cell", _nearest_cell("v", centroids))
-    # norm once per row here, not once per PAIR in the self-join: the
-    # pair filter then evaluates one dot product instead of three
-    # (same IEEE steps the oracle takes — sqrt per side, multiply,
-    # divide — so the cosine bits are unchanged)
-    c = c.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # assignment + per-row norm in one Arrow kernel (bit-identical to
+    # the _nearest_cell/_dot expression path, whose interpreted
+    # higher-order lambdas cost ~5 s at 20k rows — round 7); the norm
+    # is computed once per ROW here, not once per pair, with the same
+    # IEEE steps the oracle takes
+    c = _assign_cells_arrow(base, centroids)
     # materialize the assignment once: the small/big split and the two
     # pair-join sides each re-derive this subplan otherwise, running
     # the argmax-dot centroid scan ~4x (at production scale the
@@ -195,28 +375,31 @@ def semantic_dedup(
     else:
         small, big = c, c.where(F.lit(False))
 
-    a = small.select(
-        "cell",
-        F.col("id").alias("ia"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = small.select(
-        "cell",
-        F.col("id").alias("ib"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.when(
-        F.col("na") * F.col("nb") > 0,
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(0.0))
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("ia") < F.col("ib"))
-        .where(F.round(cos, 6) >= threshold)
-        .select("cell", "ia", "ib")
-    )
+    if threshold > 0:
+        pairs = _cell_pairs_arrow(small, threshold)
+    else:  # pragma: no cover - degenerate threshold, keep JVM path
+        a = small.select(
+            "cell",
+            F.col("id").alias("ia"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = small.select(
+            "cell",
+            F.col("id").alias("ib"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = F.when(
+            F.col("na") * F.col("nb") > 0,
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ).otherwise(F.lit(0.0))
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("ia") < F.col("ib"))
+            .where(F.round(cos, 6) >= threshold)
+            .select("cell", "ia", "ib")
+        )
     # the cell key never feeds the verdict (cells partition the graph,
     # ids are globally unique) — the fixed point runs cell-oblivious
     dropped = _greedy_keepers(pairs, small.select("id"))

@@ -47,7 +47,12 @@ def run_incremental_ann(
     """
     from batch_import_spark.operators.similarity import ivf_pq_extend
 
-    state: dict = {"index": index, "batches": 0}
+    # `owned` tracks whether state["index"] was created inside this
+    # fold: the caller-supplied initial index must never be
+    # unpersisted here (it may be a persisted/checkpointed frame still
+    # used elsewhere — dropping its cached blocks would be a hidden
+    # side effect)
+    state: dict = {"index": index, "batches": 0, "owned": False}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from batch_import_spark.operators.similarity import pq_encode
@@ -62,12 +67,13 @@ def run_incremental_ann(
                 state["index"], batch_df, centroids, book, m_sub,
                 id_col=id_col, vec_col=vec_col,
             )
-        prev = state["index"]
+        prev, prev_owned = state["index"], state["owned"]
         # eager checkpoint = the per-batch state commit; truncates
         # lineage so batch N+1 never re-encodes batch N (rotation
         # discipline shared with streaming/incremental.py)
         state["index"] = merged.localCheckpoint(eager=True)
-        if prev is not None:
+        state["owned"] = True
+        if prev is not None and prev_owned:
             prev.unpersist()
         state["batches"] += 1
 
