@@ -51,7 +51,7 @@ from pyspark.sql.window import Window
 
 from batch_import_spark.functions.unigram import ilog2_fp
 from batch_import_spark.operators.lm import _adjacent_pairs, _words
-from batch_import_spark.operators.sketches import portable_hash60
+from batch_import_spark.operators.sketches import portable_bucket, portable_hash60
 
 N_BUCKETS = 128
 
@@ -69,25 +69,57 @@ def hashed_ngram_counts(
     per-doc flags (e.g. the DSIR target flag) are functionally
     dependent on the id, so carrying them is free and saves a
     doc-keyed join back (one whole SortMergeJoin at corpus scale)."""
-    toks = _words(text_col)
-    bigrams = F.transform(
-        _adjacent_pairs(toks), lambda s: F.concat_ws(" ", s["w1"], s["w2"])
-    )
-    carry = [F.col(c) for c in carry_cols]
     return (
-        docs.select(
-            F.col(id_col), *carry,
-            F.explode(F.concat(toks, bigrams)).alias("gram"),
-        )
-        .select(
-            id_col,
-            *carry,
-            F.pmod(portable_hash60(F.col("gram")), F.lit(n_buckets)).alias(
-                "bucket"
-            ),
-        )
+        _hashed_gram_rows(docs, id_col, text_col, n_buckets, carry_cols)
         .groupBy(id_col, *carry_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _hashed_gram_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry_cols, bucket): one row per unigram/bigram
+    occurrence, bucket-hashed — the pre-aggregation grain of
+    :func:`hashed_ngram_counts`."""
+    from batch_import_spark.operators.lm import _split_raw, _trim_empty_endpoints
+
+    carry = [F.col(c) for c in carry_cols]
+    # stage split -> tokens -> gram array as separate projections so
+    # each multiply-referenced input is a materialized column (the
+    # inlined form re-splits the text per reference and the inferred
+    # explode filter triples the generator expression — round 7)
+    raw = docs.select(F.col(id_col), *carry, _split_raw(text_col).alias("_raw"))
+    tok = raw.select(
+        id_col, *carry_cols, _trim_empty_endpoints(F.col("_raw")).alias("_tk")
+    )
+    # bigram strings via the arrays_zip n-gram builder (n=2) — the
+    # same concat_ws(" ", w1, w2) values as the struct-pair transform,
+    # without one interpreted struct alloc + one interpreted
+    # concat_ws per pair
+    from batch_import_spark.operators.contamination import _ngrams_from_tokens
+
+    grams = tok.select(
+        id_col,
+        *carry_cols,
+        F.concat(
+            F.col("_tk"), _ngrams_from_tokens(F.col("_tk"), 2)
+        ).alias("_grams"),
+    )
+    return (
+        grams.select(
+            id_col, *carry_cols, F.explode_outer("_grams").alias("gram")
+        )
+        .where(F.col("gram").isNotNull())
+        .select(
+            id_col,
+            *carry_cols,
+            portable_bucket(F.col("gram"), n_buckets).alias("bucket"),
+        )
     )
 
 
@@ -134,14 +166,43 @@ def _bucket_log_prob_map(
 
 
 def dsir_lambda_map(
-    ff: DataFrame, n_buckets: int, target_flag: str = "_is_target"
+    ff: DataFrame,
+    n_buckets: int,
+    target_flag: str = "_is_target",
+    count_col: str = "cnt",
 ) -> dict[int, int]:
     """bucket → lam_fp = log p_target - log q_raw, the frozen DSIR
     importance model (n_buckets integers — shippable as a literal to
-    a streaming screen or broadcast as a tiny table)."""
-    lp_t = _bucket_log_prob_map(ff.where(F.col(target_flag)), n_buckets)
-    lp_r = _bucket_log_prob_map(ff.where(~F.col(target_flag)), n_buckets)
-    return {b: lp_t[b] - lp_r[b] for b in range(n_buckets)}
+    a streaming screen or broadcast as a tiny table). Both corpora's
+    bucket totals come from ONE map-side-combinable aggregation (the
+    flag split is a conditional sum, not two scans); the smoothed
+    fixed-point logs are the same driver-side ilog2_fp as
+    :func:`_bucket_log_prob_map`."""
+    rows = (
+        ff.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col(target_flag), F.col(count_col)).otherwise(0)
+            )
+            .cast("long")
+            .alias("t"),
+            F.sum(
+                F.when(~F.col(target_flag), F.col(count_col)).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        .collect()
+    )
+    t_counts = {int(r.bucket): int(r.t) for r in rows}
+    r_counts = {int(r.bucket): int(r.r) for r in rows}
+    it_t = ilog2_fp(sum(t_counts.values()) + n_buckets)
+    it_r = ilog2_fp(sum(r_counts.values()) + n_buckets)
+    return {
+        b: (ilog2_fp(t_counts.get(b, 0) + 1) - it_t)
+        - (ilog2_fp(r_counts.get(b, 0) + 1) - it_r)
+        for b in range(n_buckets)
+    }
 
 
 def dsir_weights(
@@ -156,28 +217,32 @@ def dsir_weights(
     false; the target corpus (pred true) only shapes the numerator
     LM, exactly as in the paper (select raw data that resembles the
     target)."""
-    spark = docs.sparkSession
     tagged = docs.withColumn("_is_target", target_pred)
-    # the featurize explode + groupBy feeds THREE consumers (target
-    # LM, raw LM, final scoring) — checkpoint it once or Spark
-    # re-runs the whole md5-per-gram scan per consumer (3x cost,
-    # measured 13 s -> ~5 s at sf0.1)
-    ff = hashed_ngram_counts(
+    # round-7 shape: featurization stops at the EXPLODED (id, flag,
+    # bucket) rows — the (doc, bucket) count table the previous
+    # formulation aggregated first is cnt≈1 for nearly every pair, so
+    # that groupBy was a full-width high-cardinality shuffle that
+    # bought nothing. The LM bucket totals come from two 128-group
+    # map-side-combinable aggregates over the same materialized rows
+    # (sum over cnt == count over grams), and the per-doc weight uses
+    # sum_b cnt_b*lam_b == sum_g lam_bucket(g) — one narrow
+    # doc-keyed aggregate with the frozen 128-entry lambda table as a
+    # literal array (the stream screen's shape). All-integer, exact.
+    ex = _hashed_gram_rows(
         tagged, id_col, text_col, n_buckets, carry_cols=("_is_target",)
     ).localCheckpoint(eager=False)
-    lam = spark.createDataFrame(
-        sorted(dsir_lambda_map(ff, n_buckets).items()),
-        "bucket int, lam_fp long",
-    )
+    lam = dsir_lambda_map(ex.withColumn("cnt", F.lit(1)), n_buckets)
+    lam_arr = F.lit([lam[b] for b in range(n_buckets)]).cast("array<bigint>")
     return (
-        ff.where(~F.col("_is_target"))
-        .join(F.broadcast(lam), "bucket")
+        ex.where(~F.col("_is_target"))
         .groupBy(id_col)
         .agg(
-            F.sum("cnt").cast("long").alias("n_grams"),
-            F.sum(F.col("cnt") * F.col("lam_fp")).cast("long").alias(
-                "weight_fp"
-            ),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.element_at(lam_arr, (F.col("bucket") + 1).cast("int"))
+            )
+            .cast("long")
+            .alias("weight_fp"),
         )
     )
 

@@ -54,17 +54,59 @@ def fuzzy_join_ed1(
     with levenshtein(left_key, right_key) ≤ 1, computed via a
     deletion-neighborhood equi-join + exact verify (never a nested
     loop). Self-join callers should filter ``left_id < right_id``."""
-    lv = left.select(
-        F.col(left_id).alias("_lid"),
-        F.col(left_key).alias("_lkey"),
-        F.explode(deletion_variants(left_key)).alias("_v"),
+    # round-7 shape:
+    # - variants come from an exploded INDEX sequence with the string
+    #   surgery as a codegen row expression (the array-lambda form is
+    #   interpreted per element);
+    # - the candidate distinct runs on narrow (lid, rid) pairs — keys
+    #   re-attach by id afterwards, which is exact because the
+    #   levenshtein verify re-tests every (key_l, key_r) combination
+    #   and the neighborhood property guarantees every true pair was
+    #   a candidate;
+    # - a self-join (left IS right, same key/id columns) shares one
+    #   materialized variant table instead of computing it twice.
+    def variant_rows(df, id_col, key_col, idal, keyal):
+        base = df.select(F.col(id_col).alias(idal), F.col(key_col).alias(keyal))
+        key = F.col(keyal)
+        idx = base.select(
+            idal,
+            keyal,
+            F.explode(F.sequence(F.lit(0), F.length(key))).alias("_i"),
+        )
+        k = F.col(keyal)
+        variant = F.when(F.col("_i") == 0, k).otherwise(
+            F.concat(
+                k.substr(F.lit(1), F.col("_i") - 1),
+                k.substr(F.col("_i") + 1, F.length(k)),
+            )
+        )
+        # join/distinct on the 64-bit variant hash, not the string:
+        # candidates only need to be a SUPERSET of the true pairs (the
+        # levenshtein verify is exact), and a hash collision merely
+        # adds a candidate the verify rejects — so the whole variant
+        # shuffle carries two longs per row
+        return idx.select(idal, F.xxhash64(variant).alias("_v")).distinct()
+
+    self_join = (
+        left is right and left_key == right_key and left_id == right_id
+    )
+    lv = variant_rows(left, left_id, left_key, "_lid", "_lkey")
+    if self_join:
+        lv = lv.localCheckpoint(eager=False)
+        rv = lv.select(F.col("_lid").alias("_rid"), "_v")
+    else:
+        rv = variant_rows(right, right_id, right_key, "_rid", "_rkey")
+    cand = lv.join(rv, "_v").select("_lid", "_rid").distinct()
+    # distinct: duplicate (id, key) input rows must not multiply the
+    # re-attach join (the old formulation collapsed them in the
+    # variant distinct)
+    lkeys = left.select(
+        F.col(left_id).alias("_lid"), F.col(left_key).alias("_lkey")
     ).distinct()
-    rv = right.select(
-        F.col(right_id).alias("_rid"),
-        F.col(right_key).alias("_rkey"),
-        F.explode(deletion_variants(right_key)).alias("_v"),
+    rkeys = right.select(
+        F.col(right_id).alias("_rid"), F.col(right_key).alias("_rkey")
     ).distinct()
-    cand = lv.join(rv, "_v").select("_lid", "_lkey", "_rid", "_rkey").distinct()
+    cand = cand.join(lkeys, "_lid").join(rkeys, "_rid")
     return cand.where(F.levenshtein("_lkey", "_rkey") <= 1).select(
         F.col("_lid").alias(left_id + "_l"),
         F.col("_rid").alias(right_id + "_r"),

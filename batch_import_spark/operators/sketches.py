@@ -39,6 +39,20 @@ def portable_hash60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
 
+def portable_bucket(col: Column | str, m: int) -> Column:
+    """``pmod(portable_hash60(col), m)`` — exactly — computed from the
+    LAST TWO of the 15 hex chars when ``m`` divides 256: every higher
+    hex digit contributes a multiple of 16^2 ≡ 0 (mod m), so the
+    2-char base conversion is equal and ~6x cheaper than the 15-char
+    one (Conv dominates the hash cost — round-7 measurement). Falls
+    back to the full hash for other moduli."""
+    if m > 0 and 256 % m == 0:
+        c = F.col(col) if isinstance(col, str) else col
+        two = F.conv(F.substring(F.md5(c.cast("string")), 14, 2), 16, 10)
+        return F.pmod(two.cast("long"), F.lit(m))
+    return F.pmod(portable_hash60(col), F.lit(m))
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
