@@ -80,6 +80,22 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """word_shingles over an already-projected TOKEN-ARRAY column —
+    same construction, but ``toks`` must be a plain column reference
+    (this expression reads it n + 3 times; an inlined tokenization
+    would re-split the text per reference — round 7)."""
+    k = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, j + 1, k) for j in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(k > 0, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Distinct char n-grams (expression; arrays_zip over shifted char
     slices — per-index substring would be O(len) each on UTF8)."""
@@ -181,14 +197,30 @@ def minhash_near_duplicates(
     for counted/logged drops run operators.buckets.cap_hot_buckets
     with ``eager_stats=True`` on the banded frame.
     """
+    # round-7 shape: the shingle-ARRAY table is staged (tokenization
+    # as its own projection — the inlined form re-tokenizes per
+    # reference) and materialized once; it feeds the signature
+    # explode AND the verify joins, which previously re-ran the whole
+    # shingling 4x. Verification is row-local array_intersect on the
+    # (distinct) shingle arrays of each candidate pair — two id-keyed
+    # joins against the 1-row-per-doc table instead of two
+    # 1-row-per-shingle joins plus a pair aggregation.
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    arr = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        .select("id", _shingles_from_tokens(F.col("_tk"), shingle_words).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     # explode + groupBy-min formulation: one flat codegen stage with
     # map-side partial mins, instead of num_hashes nested array lambdas
     # in a single expression (whose generated method can blow past JIT
-    # limits and fall back to interpretation — observed 5-60s swings)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
-    )
+    # limits and fall back to interpretation — observed 5-60s swings).
+    # explode_outer: shingle arrays are non-empty by construction, and
+    # plain explode makes the optimizer infer a size>0 filter that
+    # re-evaluates the generator input per predicate.
+    exploded = arr.select("id", F.explode_outer("sh").alias("shingle"))
     sigs = exploded.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(7 + i))).alias(f"_h{i}")
@@ -212,18 +244,24 @@ def minhash_near_duplicates(
         .select(F.col("id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verify without materialized sets: shingles are distinct
-    # per doc (word_shingles), so |A∩B| is a row count
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(exploded.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(exploded.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # exact verify: arrays are distinct per doc (word_shingles), so
+    # |A∩B| = size(array_intersect) and |A∪B| = n_a + n_b - |A∩B|
     verified = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        cand.join(
+            arr.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
