@@ -26,9 +26,35 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _seq_dot_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """All pairwise dots of the rows of V (n x d) against the rows of
+    C (k x d) with the accumulation running over dimensions in
+    ascending order — each (i, j) entry performs EXACTLY the IEEE-754
+    step sequence of the JVM fold ``aggregate(zip_with(v, c, *),
+    0.0, +)``, so results are bit-identical to the expression path
+    (a plain matmul uses pairwise/blocked summation and is not)."""
+    out = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(V.shape[1]):
+        out += np.outer(V[:, d], C[:, d])
+    return out
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session parallelism when the
+    source collapses to fewer scan partitions (small local inputs) —
+    Arrow kernels otherwise run on 1-2 tasks. No-op for wide inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -481,45 +507,93 @@ def pq_refine_codebook(
     is still closed-form replayable — plain BIGINT `div` would NOT be
     (Spark truncates toward zero, DuckDB floors, and residual sums go
     negative). Empty codes keep their codeword. Driver traffic per
-    iter: m_sub x k_codes x ds integers."""
+    iter: m_sub x k_codes x ds integers.
+
+    Round 7: the per-iteration assignment + component sums run in one
+    Arrow kernel emitting PARTIAL (m, code, pos, s, n) rows per batch
+    (≤ m_sub·k_codes·ds each — bounded), summed by one tiny JVM
+    aggregate; integer sums are order-independent, so the refined
+    book is bit-identical to the expression path (pinned by
+    tests/test_round7_pq.py)."""
     import math as _math
 
     m_sub = len(book)
     ds = len(book[0][0])
-    zero = F.lit(0).cast("long")
+    schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
     for _ in range(iters):
-        book_lit = _long_lit_3d(book)
-        sub = rq_df.select(
-            F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
-            F.col("rq"),
-        ).select(
-            "m", F.slice(F.col("rq"), F.col("m") * ds + 1, ds).alias("sv")
-        )
-        coded = sub.select(
-            "m",
-            "sv",
-            F.array_min(
-                F.transform(
-                    F.get(book_lit, F.col("m")),
-                    lambda cw, j: F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("sv"), cw, lambda a, b: (a - b) * (a - b)
-                            ),
-                            zero,
-                            lambda acc, x: acc + x,
-                        ).alias("d"),
-                        j.alias("j"),
-                    ),
+        B = np.asarray(book, dtype=np.int64)
+
+        def partials(batches, B=B):
+            for pdf in batches:
+                acc_s = np.zeros((m_sub, B.shape[1], ds), dtype=np.int64)
+                acc_n = np.zeros((m_sub, B.shape[1], ds), dtype=np.int64)
+                slow = []
+                fast_rows = []
+                for rq in (_rq_norm(x) for x in pdf["rq"]):
+                    if (
+                        rq is not None
+                        and len(rq) == m_sub * ds
+                        and all(x is not None for x in rq)
+                    ):
+                        fast_rows.append(np.asarray(rq, dtype=np.int64))
+                    elif rq is not None:
+                        slow.append(rq)
+                if fast_rows:
+                    RQ = np.stack(fast_rows)
+                    for m in range(m_sub):
+                        sub = RQ[:, m * ds : (m + 1) * ds]
+                        diff = sub[:, None, :] - B[m][None, :, :]
+                        D = np.einsum("ijk,ijk->ij", diff, diff)
+                        codes = np.argmin(D, axis=1)
+                        np.add.at(acc_s[m], codes, sub)
+                        ones = np.ones((len(codes), ds), dtype=np.int64)
+                        np.add.at(acc_n[m], codes, ones)
+                for rq in slow:
+                    # malformed residuals replicate the expression
+                    # path: a subspace slice that is short or touches
+                    # a NULL assigns code 0 (all-NULL distances); the
+                    # component sums skip NULL values but count every
+                    # present position row
+                    L = len(rq)
+                    for m in range(m_sub):
+                        lo, hi = m * ds, (m + 1) * ds
+                        seg = rq[lo:min(hi, L)]
+                        if len(seg) < ds or any(x is None for x in seg):
+                            code = 0
+                        else:
+                            sv = np.asarray(seg, dtype=np.int64)
+                            D = ((sv[None, :] - B[m]) ** 2).sum(axis=1)
+                            code = int(np.argmin(D))
+                        for p, val in enumerate(seg):
+                            if val is not None:
+                                acc_s[m][code][p] += val
+                            acc_n[m][code][p] += 1
+                nz = np.nonzero(acc_n)
+                yield pd.DataFrame(
+                    {
+                        "m": nz[0].astype(np.int32),
+                        "code": nz[1].astype(np.int32),
+                        "pos": nz[2].astype(np.int32),
+                        "s": acc_s[nz],
+                        "n": acc_n[nz],
+                    }
                 )
-            )["j"].alias("code"),
-        )
+
         comp = (
-            coded.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+            rq_df.select("rq")
+            .mapInPandas(partials, schema)
             .groupBy("m", "code", "pos")
             .agg(
-                F.sum("val").cast("long").alias("s"),
-                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("s").cast("long").alias("s"),
+                F.sum("n").cast("long").alias("n"),
             )
             .collect()
         )
@@ -574,23 +648,31 @@ def _pq_residuals(
     measured ~14x blowup (12 s -> ~1 s at sf0.1). At production scale
     this table is persisted storage anyway (the codes ARE the
     compressed index)."""
-    qcents_lit = _long_lit_2d(
-        [[math.floor(x * scale) for x in cv] for cv in centroids]
+    C = np.asarray(centroids, dtype=np.float64)
+    qcents = np.asarray(
+        [[math.floor(x * scale) for x in cv] for cv in centroids],
+        dtype=np.int64,
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("rq", T.ArrayType(T.LongType())),
+        ]
     )
-    rq_base = c.withColumn(
-        "cell", _nearest_cell("c_vec", centroids)
-    ).withColumn(
-        "rq",
-        F.zip_with(
-            _q_int(F.col("c_vec"), scale),
-            F.get(qcents_lit, F.col("cell")),
-            lambda a, b: a - b,
-        ),
+    base = _fan_out(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     )
-    return rq_base.drop("c_vec").localCheckpoint(eager=False)
+
+    def kernel(batches):
+        for pdf in batches:
+            cells, rq_out = _pq_cell_rq_rows(pdf, C, qcents, scale)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells, "rq": rq_out}
+            )
+
+    return base.mapInPandas(kernel, schema).localCheckpoint(eager=False)
 
 
 def _pq_assign_codes(
@@ -626,6 +708,215 @@ def _pq_assign_codes(
     ).select("vec_id", "cell", "codes")
 
 
+def _pq_cell_rq_rows(pdf, centroids_np, qcents_np, scale):
+    """Per-batch cell assignment + quantized residual, replicating the
+    expression path exactly (see _pq_encode_arrow): returns
+    (cells int32 array, rq list-of-lists with None for the null
+    positions the zip_with padding produces on malformed rows)."""
+    C = centroids_np
+    dim_cent = C.shape[1]
+    n = len(pdf)
+    cells = np.zeros(n, dtype=np.int32)
+    rq_out: list = [None] * n
+    fast_idx, fast_rows = [], []
+    for i, v in enumerate(pdf["v"]):
+        if v is not None and len(v) == dim_cent:
+            fast_idx.append(i)
+            fast_rows.append(np.asarray(v, dtype=np.float64))
+        elif v is not None:
+            a = np.asarray(v, dtype=np.float64)
+            if not np.isfinite(a).all():
+                raise ValueError(
+                    "pq encode: non-finite embedding value (the ANSI "
+                    "floor->long cast fails on it in the expression path)"
+                )
+            # wrong length: every cell score is NULL -> cell 0; the
+            # residual zip_with pads the shorter side with NULL
+            L = len(a)
+            real = min(L, dim_cent)
+            qv = np.floor(a * scale).astype(np.int64)
+            row = [None] * max(L, dim_cent)
+            for p in range(real):
+                row[p] = int(qv[p] - qcents_np[0][p])
+            rq_out[i] = row
+        # v is None: cell 0, rq NULL (rq_out stays None)
+    if fast_rows:
+        V = np.stack(fast_rows)
+        if not np.isfinite(V).all():
+            raise ValueError(
+                "pq encode: non-finite embedding value (the ANSI "
+                "floor->long cast fails on it in the expression path)"
+            )
+        am = np.argmax(_seq_dot_matrix(V, C), axis=1)
+        qv = np.floor(V * scale).astype(np.int64)
+        rq = qv - qcents_np[am]
+        for j, i in enumerate(fast_idx):
+            cells[i] = am[j]
+            rq_out[i] = [int(x) for x in rq[j]]
+    return cells, rq_out
+
+
+def _rq_norm(rq):
+    """Normalize an Arrow-roundtripped residual row to a
+    list-with-None: array<long> columns containing NULL elements
+    arrive in pandas as float64 arrays with NaN."""
+    if rq is None:
+        return None
+    a = np.asarray(rq)
+    if a.dtype.kind == "f":
+        return [None if np.isnan(x) else int(x) for x in a]
+    return [int(x) for x in a]
+
+
+def _pq_codes_from_rq(rq_row, B, m_sub, ds):
+    """Codes for one residual list (may contain None) — argmin-L2²
+    per subspace, ties to the lowest code; a subspace whose slice
+    touches a NULL (or runs past the array) gets the all-NULL-distance
+    struct-min, which is code 0."""
+    if rq_row is None:
+        return [0] * m_sub
+    out = []
+    L = len(rq_row)
+    for m in range(m_sub):
+        lo, hi = m * ds, (m + 1) * ds
+        seg = rq_row[lo:hi]
+        if hi > L or any(x is None for x in seg):
+            out.append(0)
+            continue
+        sub = np.asarray(seg, dtype=np.int64)
+        D = ((sub[None, :] - B[m]) ** 2).sum(axis=1)
+        out.append(int(np.argmin(D)))
+    return out
+
+
+def _pq_assign_codes_arrow(
+    rq_df: DataFrame, book: list[list[list[int]]], m_sub: int
+) -> DataFrame:
+    """(vec_id, cell, codes) from a residual table — the Arrow twin of
+    :func:`_pq_assign_codes` (argmin-L2² per subspace over the frozen
+    codebook, ties -> lowest code; all-int64, so exact in any
+    summation order; NULL-touching subspaces -> code 0, the
+    all-NULL-distance struct-min)."""
+    B = np.asarray(book, dtype=np.int64)
+    _, k_codes, ds = B.shape
+    dim = m_sub * ds
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", rq_df.schema["vec_id"].dataType),
+            T.StructField("cell", rq_df.schema["cell"].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rqs = [_rq_norm(x) for x in pdf["rq"]]
+            n = len(pdf)
+            codes_out: list = [None] * n
+            fast = [
+                i
+                for i, rq in enumerate(rqs)
+                if rq is not None
+                and len(rq) == dim
+                and all(x is not None for x in rq)
+            ]
+            if fast:
+                RQ = np.asarray([rqs[i] for i in fast], dtype=np.int64)
+                codes = np.zeros((len(fast), m_sub), dtype=np.int32)
+                for m in range(m_sub):
+                    sub = RQ[:, m * ds : (m + 1) * ds]
+                    diff = sub[:, None, :] - B[m][None, :, :]
+                    D = np.einsum("ijk,ijk->ij", diff, diff)
+                    codes[:, m] = np.argmin(D, axis=1)
+                for j, i in enumerate(fast):
+                    codes_out[i] = [int(x) for x in codes[j]]
+            for i in range(n):
+                if codes_out[i] is None:
+                    codes_out[i] = _pq_codes_from_rq(rqs[i], B, m_sub, ds)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "codes": codes_out,
+                }
+            )
+
+    return rq_df.mapInPandas(kernel, schema)
+
+
+def _pq_encode_arrow(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    book: list[list[list[int]]],
+    m_sub: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, cell, codes) in ONE Arrow kernel — bit-identical to
+    ``_pq_assign_codes(_pq_residuals(...))`` (pinned by
+    tests/test_round7_pq.py): the cell argmax accumulates dots over
+    dimensions in ascending order (the zip_with fold's IEEE
+    sequence; ties to the lowest cell), quantization replays
+    floor(x*scale) per element, and everything after quantization is
+    int64 (exact in any summation order). The interpreted
+    higher-order path costs ~1024 lambda evals per vector; this is
+    three vectorized numpy passes."""
+    C = np.asarray(centroids, dtype=np.float64)
+    qcents = np.asarray(
+        [[math.floor(x * scale) for x in cv] for cv in centroids],
+        dtype=np.int64,
+    )
+    B = np.asarray(book, dtype=np.int64)
+    _, k_codes, ds = B.shape
+    dim_cent = C.shape[1]
+    id_type = corpus.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    base = _fan_out(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            cells, rq_out = _pq_cell_rq_rows(pdf, C, qcents, scale)
+            n = len(pdf)
+            codes_out: list = [None] * n
+            # vectorized codes for the uniform rows
+            fast = [
+                i
+                for i in range(n)
+                if rq_out[i] is not None
+                and len(rq_out[i]) == dim_cent
+                and all(x is not None for x in rq_out[i])
+            ]
+            if fast:
+                RQ = np.asarray([rq_out[i] for i in fast], dtype=np.int64)
+                codes = np.zeros((len(fast), m_sub), dtype=np.int32)
+                for m in range(m_sub):
+                    hi = (m + 1) * ds
+                    if hi <= dim_cent:
+                        sub = RQ[:, m * ds : hi]
+                        diff = sub[:, None, :] - B[m][None, :, :]
+                        D = np.einsum("ijk,ijk->ij", diff, diff)
+                        codes[:, m] = np.argmin(D, axis=1)
+                for j, i in enumerate(fast):
+                    codes_out[i] = [int(x) for x in codes[j]]
+            for i in range(n):
+                if codes_out[i] is None:
+                    codes_out[i] = _pq_codes_from_rq(rq_out[i], B, m_sub, ds)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells, "codes": codes_out}
+            )
+
+    return base.mapInPandas(kernel, schema)
+
+
 def pq_encode(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -640,10 +931,8 @@ def pq_encode(
     argmin touch only the row and two broadcast literals), which is
     what makes the index incrementally maintainable: encode(A) UNION
     encode(B) == encode(A ∪ B) exactly, for any split."""
-    return _pq_assign_codes(
-        _pq_residuals(corpus, centroids, scale, id_col, vec_col),
-        book,
-        m_sub,
+    return _pq_encode_arrow(
+        corpus, centroids, book, m_sub, scale, id_col, vec_col
     )
 
 
@@ -723,7 +1012,7 @@ def ivf_pq_topk(
     rq_base = _pq_residuals(corpus, centroids, scale, id_col, vec_col)
     if refine_iters:
         book = pq_refine_codebook(rq_base.select("rq"), book, refine_iters)
-    assigned = _pq_assign_codes(rq_base, book, m_sub)
+    assigned = _pq_assign_codes_arrow(rq_base, book, m_sub)
     # Query side: queries are small by contract (the same broadcast
     # assumption every path in this module makes), so the classic ADC
     # LOOKUP TABLE — per (query, probed cell): the m_sub x k_codes
