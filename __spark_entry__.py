@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+
+def _read_fanout(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read + round-robin fan-out to the session parallelism
+    when the file collapses to fewer scan partitions. The local test
+    tables are single-row-group parquet (unsplittable regardless of
+    maxPartitionBytes), so every narrow map/partial-aggregate stage
+    over them otherwise runs ONE task — the dominant cost of most
+    text queries at bench scale (round-7 measurement). The shuffle
+    moves only the small file's bytes once; at production scale the
+    input already has >= session-parallelism splits and this is a
+    no-op. Row order never feeds results (value-semantic queries)."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
 # --- flagship ---------------------------------------------------------------
 
 
@@ -423,7 +440,7 @@ FROM lineitem WHERE l_orderkey < 50
 
 
 def _p2_null_projection(spark, sf):
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.nullif(F.col("source"), F.lit("src3"))).alias("n_not_src3"),
@@ -638,7 +655,7 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def _dedup_exact(spark, sf):
     from batch_import_spark.operators.dedup import exact_dedup
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     fp = F.md5(F.substring(F.col("text"), 1, 20))
     return exact_dedup(d, fp).select("doc_id")
 
@@ -653,7 +670,7 @@ WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2
 def _dedup_groups(spark, sf):
     from batch_import_spark.operators.dedup import duplicate_groups
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     fp = F.md5(F.substring(F.col("text"), 1, 12))
     return duplicate_groups(d, fp).select("fp", "n_dups", "keeper_id")
 
@@ -667,7 +684,7 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 def _ann_cosine_topk(spark, sf):
     from batch_import_spark.operators.similarity import cosine_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.where(F.col("vec_id") < 5).select(
@@ -706,7 +723,7 @@ def _hard_negatives(spark, sf):
     pruning at scale."""
     from batch_import_spark.operators.similarity import hard_negatives
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
@@ -748,7 +765,7 @@ def _curriculum_order(spark, sf):
     permutation a dataloader consumes."""
     from batch_import_spark.operators.sampling import curriculum_order
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     stage = (
         F.when(F.col("n_chars") < 150, 0)
         .when(F.col("n_chars") < 300, 1)
@@ -848,7 +865,7 @@ def _text_quality(spark, sf):
         token_count,
     )
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     n_toks = token_count("text")
     pr = punct_ratio("text")
     sw = stopword_ratio("text", "en")
@@ -920,7 +937,7 @@ def _repetition_screen(spark, sf):
     repetition (~70%% of docs repeat a word bigram)."""
     from batch_import_spark.operators.repetition import repetition_screen
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
     )
@@ -1036,7 +1053,7 @@ def _repetition_screen_para(spark, sf):
     n_lines/dup_line_* output columns read as paragraph counts here."""
     from batch_import_spark.operators.repetition import repetition_screen
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
     )
@@ -1181,7 +1198,7 @@ def _domain_filter(spark, sf):
         F.lit("/page/"),
         did.cast("string"),
     )
-    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+    d = _read_fanout(spark, f"{sf}/documents.parquet").select(
         "doc_id", url.alias("url")
     )
     bl = spark.createDataFrame(
@@ -1278,7 +1295,7 @@ def _pii_redact(spark, sf):
     safe patterns."""
     from batch_import_spark.operators.pii import redact_pii
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     planted = d.select(
         "doc_id",
         _pii_planted_text(F.col("doc_id"), F.col("text")).alias("text"),
@@ -1360,7 +1377,7 @@ def _quality_gate(spark, sf):
     from batch_import_spark.operators.pii import redact_pii
     from batch_import_spark.operators.repetition import repetition_screen
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     planted = d.select(
         "doc_id",
         _pii_planted_text(F.col("doc_id"), F.col("text")).alias("text"),
@@ -1467,7 +1484,7 @@ def _stream_quality_screen(spark, sf):
     from batch_import_spark.operators.pii import pii_columns
     from batch_import_spark.operators.repetition import top_gram_mass_cols
 
-    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    docs_schema = _read_fanout(spark, f"{sf}/documents.parquet").schema
     stream_dir = tempfile.mkdtemp(prefix="stream_quality_docs_")
     os.symlink(
         os.path.abspath(f"{sf}/documents.parquet"),
@@ -1539,7 +1556,7 @@ def _vocab_growth(spark, sf):
     Shape: one explode + min-groupBy for first occurrence (map-side
     combinable), then a 10-row broadcast decile grid — the cross
     joins are the sanctioned broadcast-tiny/scalar kind."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
     )
@@ -1636,7 +1653,7 @@ def _temperature_mixture(spark, sf):
     broadcast scalar join; shares/allocations BIGINT-exact."""
     from batch_import_spark.operators.sampling import temperature_mixture
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return temperature_mixture(d, "source", token_budget=100_000)
 
 
@@ -1663,7 +1680,7 @@ FROM w CROSS JOIN t
 def _text_fingerprint(spark, sf):
     from batch_import_spark.functions.text import doc_fingerprint
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return d.select("doc_id", doc_fingerprint("text").alias("fp"))
 
 
@@ -1674,7 +1691,7 @@ FROM documents
 
 
 def _extract_regex(spark, sf):
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return (
         d.select(
             F.explode(
@@ -1706,7 +1723,7 @@ def _bpe_merges_for(spark, sf):
 
     merges = _BPE_MERGE_CACHE.get(sf)
     if merges is None:
-        d = spark.read.parquet(f"{sf}/documents.parquet")
+        d = _read_fanout(spark, f"{sf}/documents.parquet")
         merges = bpe_train(
             d, "text", n_merges=_BPE_N_MERGES, min_pair_count=2
         )
@@ -1726,7 +1743,7 @@ def _wp_vocab_for(spark, sf):
 
     got = _WP_VOCAB_CACHE.get(sf)
     if got is None:
-        d = spark.read.parquet(f"{sf}/documents.parquet")
+        d = _read_fanout(spark, f"{sf}/documents.parquet")
         got = collect_vocab(wordpiece_vocab(d, n_multi=200))
         _WP_VOCAB_CACHE[sf] = got
     return got
@@ -1740,7 +1757,7 @@ def _wordpiece_vocab(spark, sf):
     combinable groupBy over the DISTINCT word table."""
     from batch_import_spark.functions.wordpiece import wordpiece_vocab
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return wordpiece_vocab(d, n_multi=200)
 
 
@@ -1792,7 +1809,7 @@ def _wordpiece_tokenize(spark, sf):
     from batch_import_spark.functions.wordpiece import wordpiece_tokenize
 
     init, cont = _wp_vocab_for(spark, sf)
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return wordpiece_tokenize(d, init, cont)
 
 
@@ -1851,7 +1868,7 @@ def _unigram_docs(spark, sf):
     concatenated without a space — so multi-piece Viterbi
     segmentation fires on real rows (the raw corpus words are short
     enough that single pieces often win)."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     toks = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != F.lit("")
     )
@@ -2144,7 +2161,7 @@ def _dsir_select(spark, sf):
     none — training-data selection surface."""
     from batch_import_spark.operators.dsir import dsir_select
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return dsir_select(
         d, F.col("source") == "src0", k=_DSIR_K, n_buckets=_DSIR_BUCKETS
     )
@@ -2246,7 +2263,7 @@ def _stream_dsir_screen(spark, sf):
     from batch_import_spark.operators.lm import _adjacent_pairs, _words
     from batch_import_spark.operators.sketches import portable_hash60
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     tagged = d.withColumn("_is_target", F.col("source") == "src0")
     ff = hashed_ngram_counts(
         tagged, "doc_id", "text", _DSIR_BUCKETS, carry_cols=("_is_target",)
@@ -2320,7 +2337,7 @@ def _kmeans_clusters(spark, sf):
     — embedding-curation surface."""
     from batch_import_spark.operators.kmeans import kmeans_clusters
 
-    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e = _read_fanout(spark, f"{sf}/embeddings.parquet")
     return kmeans_clusters(e, **_KMEANS_KW)
 
 
@@ -2331,7 +2348,7 @@ def _cluster_balanced_sample(spark, sf):
     — equal representation per cluster regardless of cluster mass."""
     from batch_import_spark.operators.kmeans import cluster_balanced_sample
 
-    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e = _read_fanout(spark, f"{sf}/embeddings.parquet")
     return cluster_balanced_sample(e, per_cluster=_KMEANS_SAMPLE, **_KMEANS_KW)
 
 
@@ -2432,25 +2449,17 @@ def _bpe_train(spark, sf):
 
 
 def _bpe_tokenize(spark, sf):
-    """Apply the learned merges to every document: zero-shuffle chain
-    of literal replace() calls on the delimited-symbol encoding (pure
-    codegen). Output: per-doc BPE token count + portable 60-bit hash
-    of the full segmentation (chr(30) between subwords)."""
-    from batch_import_spark.functions.bpe import (
-        encode_text,
-        segment_expr,
-        token_count_expr,
-    )
-    from batch_import_spark.operators.sketches import portable_hash60
+    """Apply the learned merges to every document — one Arrow kernel
+    with a per-task distinct-word encode cache (functions/bpe.py
+    bpe_doc_stats, bit-identical to the replace-chain expression
+    path, pytest-pinned). Output: per-doc BPE token count + portable
+    60-bit hash of the full segmentation (chr(30) between
+    subwords)."""
+    from batch_import_spark.functions.bpe import bpe_doc_stats
 
     merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
-    d = spark.read.parquet(f"{sf}/documents.parquet")
-    enc = encode_text("text", merges)
-    return d.select(
-        "doc_id",
-        token_count_expr(enc).alias("n_bpe_tokens"),
-        portable_hash60(segment_expr(enc)).alias("seg_hash"),
-    ).where(
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
+    return bpe_doc_stats(d, "text", merges, id_col="doc_id").where(
         # the oracle's word-level join drops docs with zero words
         # (empty/whitespace-only/NULL text); match that row set here —
         # a doc WITH words always has >= 1 subword token (ADVICE r04)
@@ -2466,7 +2475,7 @@ def _bpe_vocab(spark, sf):
     from batch_import_spark.functions.bpe import encode_text, segment_expr
 
     merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     seg = segment_expr(encode_text("text", merges))
     sym = F.explode(F.split(F.replace(seg, F.lit(" "), F.lit("\x1e")), "\x1e"))
     return (
@@ -2485,7 +2494,7 @@ def _lm_bigram_score(spark, sf):
     bit-reproducible and the oracle replays it exactly."""
     from batch_import_spark.operators.lm import score_documents
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return score_documents(d, "doc_id", "text")
 
 
@@ -2666,7 +2675,7 @@ def _split_leakage(spark, sf):
     collisions exercise the join."""
     from batch_import_spark.operators.sampling import split_leakage_audit
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return split_leakage_audit(d, F.md5(F.substring(F.col("text"), 1, 20)))
 
 
@@ -2740,7 +2749,7 @@ def _cdc_chunks(spark, sf):
     rule with list functions."""
     from batch_import_spark.operators.packing import cdc_chunks
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return cdc_chunks(d, "doc_id", "text", gram=8, mask=32)
 
 
@@ -2780,7 +2789,7 @@ def _crossdoc_substring_removal(spark, sf):
         remove_repeated_substrings,
     )
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return remove_repeated_substrings(d)
 
 
@@ -2852,7 +2861,7 @@ def _rolling_fingerprint(spark, sf):
     (acc*B + byte) mod P fold."""
     from batch_import_spark.functions.text import rolling_fingerprint
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return d.select(
         "doc_id",
         rolling_fingerprint("text").alias("rabin_hash"),
@@ -2888,7 +2897,7 @@ def _winnowing_sketch(spark, sf):
     window-min + XOR-register arithmetic."""
     from batch_import_spark.operators.dedup import winnowing_sketch
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return winnowing_sketch(d, "doc_id", "text", k=8, window=4)
 
 
@@ -2940,7 +2949,7 @@ def _context_token_budget(spark, sf):
     doc_id = order) so the oracle is closed-form."""
     from batch_import_spark.operators.conversations import context_within_budget
 
-    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+    d = _read_fanout(spark, f"{sf}/documents.parquet").select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").alias("turn_idx"),
         "text",
@@ -3108,7 +3117,7 @@ def _tokenizer_fertility(spark, sf):
     in any family's training/segmentation show up as a value change.
     One aggregate per family over already-registered entries — blank
     docs contribute zero words and zero tokens on both engines."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     toks_sz = F.size(
         F.filter(
             F.split(F.lower(F.trim("text")), r"\s+"),
@@ -3208,7 +3217,7 @@ def _unimax_budget(spark, sf):
     exact same sort + prefix-sum + floor arithmetic."""
     from batch_import_spark.operators.sampling import unimax_budget
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     toks_sz = F.size(
         F.filter(
             F.split(F.lower(F.trim("text")), r"\s+"),
@@ -3276,7 +3285,7 @@ def _bpe_packed_batches(spark, sf):
     from batch_import_spark.operators.packing import pack_sequences
 
     merges = [(l, r) for (l, r, _) in _bpe_merges_for(spark, sf)]
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     sized = d.select(
         "doc_id", token_count_expr(encode_text("text", merges)).alias("n_tok")
     )
@@ -3417,7 +3426,7 @@ def _kg_incremental(spark, sf):
     )
     from batch_import_spark.sources.transcripts import alias_dict_df
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_fanout(spark, f"{sf}/documents.parquet")
     ld = prepare_link_dict(alias_dict_df(spark))
     e1 = run_kg_pipeline(
         _plant_from_docs(docs.where("doc_id % 2 = 0")).drop("ts"),
@@ -3450,7 +3459,7 @@ def _kg_precision_recall(spark, sf):
     t = _planted_transcripts_full(spark, sf)
     predicted = run_kg_pipeline(t.drop("ts"), alias_dict_df(spark)).edges
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_fanout(spark, f"{sf}/documents.parquet")
     h = _h60("doc_id")
     gold = docs.select(
         F.concat(F.lit("P"), (F.col("doc_id") % 40).cast("string")).alias("subj"),
@@ -3982,7 +3991,7 @@ def _stream_kg_incremental(spark, sf):
     pq.write_table(tbl.filter(pc.equal(parity, 0)), os.path.join(stream_dir, "b0.parquet"))
     pq.write_table(tbl.filter(pc.equal(parity, 1)), os.path.join(stream_dir, "b1.parquet"))
 
-    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    docs_schema = _read_fanout(spark, f"{sf}/documents.parquet").schema
     stream_docs = (
         spark.readStream.schema(docs_schema)
         .option("maxFilesPerTrigger", 1)
@@ -4010,7 +4019,7 @@ def _stream_kg_windowed(spark, sf):
     import os
     import tempfile
 
-    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    docs_schema = _read_fanout(spark, f"{sf}/documents.parquet").schema
     # the file-stream source watches a DIRECTORY; expose the single
     # parquet file through a temp dir of symlinks (at production scale
     # the source is a real landing directory / Iceberg table)
@@ -4112,7 +4121,7 @@ def _tfidf_terms(spark, sf):
     per document (operators/fulltext.py tfidf_top_terms)."""
     from batch_import_spark.operators.fulltext import tfidf_top_terms
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return tfidf_top_terms(d, k=3)
 
 
@@ -4147,7 +4156,7 @@ def _corpus_sample(spark, sf):
     engines, unlike df.sample()."""
     from batch_import_spark.operators.sampling import hash_sample
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return hash_sample(d, 0.3, ["doc_id"], seed=7).select("doc_id", "lang")
 
 
@@ -4162,7 +4171,7 @@ def _corpus_mixture(spark, sf):
     sources kept whole, crawl-ish sources downsampled)."""
     from batch_import_spark.operators.sampling import mixture_sample
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     mixed = mixture_sample(
         d, "source", {"src1": 1.0, "src2": 0.5, "src3": 0.1}, ["doc_id"], seed=3,
         default_rate=0.25,
@@ -4185,7 +4194,7 @@ def _stratified_sample(spark, sf):
     WindowGroupLimit cuts to k below the exchange)."""
     from batch_import_spark.operators.sampling import stratified_sample_k
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return stratified_sample_k(d, ["lang"], 5, ["doc_id"], seed=1).select(
         "lang", "doc_id"
     )
@@ -4628,7 +4637,7 @@ def _conv_table(spark, sf):
     """Deterministic transcript table in the BASELINE input_hint shape
     (conv_id, turn_idx, role, text, tool, ts), derived from documents
     so the DuckDB oracle can rebuild it with the same expressions."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     role = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("user"))
         .when(F.col("doc_id") % 3 == 1, F.lit("assistant"))
@@ -4732,7 +4741,7 @@ def _cooccurrence(spark, sf):
     identically cross-engine."""
     from batch_import_spark.operators.cooccur import cooccurrence_lift
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return cooccurrence_lift(d, min_count=5)
 
 
@@ -4765,7 +4774,7 @@ def _quote_containment(spark, sf):
     short doc quoted inside a long one where Jaccard stays near 0."""
     from batch_import_spark.operators.contamination import containment_pairs
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     # df cap 500: inert at the oracle scales (corpus ≤ 450 docs at
     # sf0.01, so no n-gram can exceed it — results stay oracle-exact)
     # but live at bench sf0.1+, where ubiquitous trigrams would
@@ -4901,7 +4910,7 @@ def _contamination(spark, sf):
     production screens use n=8..13 via the same parameter)."""
     from batch_import_spark.operators.contamination import ngram_contamination
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return ngram_contamination(
         d.where(F.col("doc_id") % 13 != 0), d.where(F.col("doc_id") % 13 == 0), n=3
     )
@@ -4936,7 +4945,7 @@ def _doc_chunks(spark, sf):
     explode → substring), no shuffle."""
     from batch_import_spark.operators.packing import chunk_documents
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return chunk_documents(d, chunk_len=180, overlap=30)
 
 
@@ -4960,7 +4969,7 @@ def _seq_packing(spark, sf):
         token_count,
     )
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     sized = d.select("doc_id", token_count("text").alias("n_tok"))
     return pack_sequences(sized, "n_tok", ["doc_id"], capacity=256, n_groups=8, seed=11)
 
@@ -5005,7 +5014,7 @@ def _seq_packing_global(spark, sf):
         token_count,
     )
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     sized = d.select("doc_id", token_count("text").alias("n_tok"))
     return pack_sequences_global(
         sized, "n_tok", ["doc_id"], capacity=256, n_groups=8, n_groups_l2=1, seed=11
@@ -5284,7 +5293,7 @@ def _dedup_incremental(spark, sf):
     composition a continuously-fed pipeline runs per delivery
     (operators/dedup.py grain + left_anti). Returns surviving new
     doc ids."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     fp = F.md5(F.col("text"))
     incoming = d.where(F.col("doc_id") % 10 == 0).select(
         "doc_id", fp.alias("fp")
@@ -5465,7 +5474,7 @@ def _stream_dedup(spark, sf):
         streaming_exact_dedup,
     )
 
-    docs_schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    docs_schema = _read_fanout(spark, f"{sf}/documents.parquet").schema
     stream_dir = tempfile.mkdtemp(prefix="stream_dedup_docs_")
     os.symlink(
         os.path.abspath(f"{sf}/documents.parquet"),
@@ -5585,7 +5594,7 @@ def _stream_sessions(spark, sf):
 
     from batch_import_spark.streaming.sessions import conversation_sessions
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _read_fanout(spark, f"{sf}/documents.parquet")
     t = _plant_from_docs(docs, include_doc_text=False)
     pdf = t.toPandas()  # bounded: one row per document at test scale
     max_us = int(pdf["ts"].astype("datetime64[us]").astype("int64").max())
@@ -5787,7 +5796,7 @@ FROM m GROUP BY source
 def _minhash_near_dups(spark, sf):
     from batch_import_spark.operators.dedup import minhash_near_duplicates
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return minhash_near_duplicates(d, num_hashes=32, num_bands=16, threshold=0.8)
 
 
@@ -5821,7 +5830,7 @@ def _near_dup_resolution(spark, sf):
         near_dup_resolution,
     )
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     pairs = minhash_near_duplicates(d, threshold=0.8, num_hashes=32, num_bands=16)
     return near_dup_resolution(pairs)
 
@@ -5863,7 +5872,7 @@ FROM reach GROUP BY a
 def _simhash_near_dups(spark, sf):
     from batch_import_spark.operators.dedup import simhash_near_duplicates
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     # max_hamming=3 + 4-block pigeonhole index ⇒ the output is the
     # EXACT hamming≤3 pair set — the oracle recomputes the 60-bit
     # md5-based SimHash independently and brute-forces all pairs
@@ -5906,7 +5915,7 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 def _lang_id(spark, sf):
     from batch_import_spark.functions.text import language_id
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return d.select("doc_id", language_id("text").alias("lang_pred"))
 
 
@@ -5940,7 +5949,7 @@ def _corpus_curation(spark, sf):
     corpus size."""
     from batch_import_spark.functions.text import language_id, token_count
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     # prefix fingerprint (same grouping rule as dedup_exact): the
     # testdata's full texts are all unique, so full-content md5 would
     # leave the dedup stage with nothing to do
@@ -6149,7 +6158,7 @@ FROM per_fp GROUP BY lang
 def _ngram_jaccard(spark, sf):
     from batch_import_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = _read_fanout(spark, f"{sf}/documents.parquet")
     return ngram_jaccard_pairs(d, ngram_chars=5, threshold=0.7)
 
 
@@ -6207,7 +6216,7 @@ WHERE lat >= -30.0 AND lat <= 30.0 AND lon >= -90.0 AND lon <= 90.0
 def _lsh_ann(spark, sf):
     from batch_import_spark.operators.similarity import lsh_ann_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.where(F.col("vec_id") < 5).select(
@@ -6274,7 +6283,7 @@ SELECT query_id, vec_id, rank, ROUND(cosine, 4) AS cos4 FROM ranked WHERE rank <
 def _ivf_ann(spark, sf):
     from batch_import_spark.operators.similarity import ivf_ann_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.where(F.col("vec_id") < 5).select(
@@ -6346,7 +6355,7 @@ def _ivf_pq(spark, sf):
     tests/test_similarity_pq.py."""
     from batch_import_spark.operators.similarity import ivf_pq_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.where(F.col("vec_id") < 5).select(
@@ -6378,7 +6387,7 @@ def _pq_code_dedup(spark, sf):
         pq_encode,
     )
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     copies = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -6541,7 +6550,7 @@ def _ann_standing_quantizers(spark, sf):
         pq_codebook_from_corpus,
     )
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     standing = emb.where(F.col("vec_id") % 10 < 8)
@@ -6696,7 +6705,7 @@ def _planted_embed_corpus(spark, sf):
     (cosine exactly 1) and an index-perturbed copy (~0.9985). The
     duplicate-pair graph at threshold 0.95 is exactly the 15 planted
     TRIANGLES {b, b+10000, b+20000} — closed form for the oracles."""
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     base = emb.where(F.col("vec_id") < 15)
@@ -6799,7 +6808,7 @@ def _pq_recall_audit(spark, sf):
         ivf_pq_topk,
     )
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.where(F.col("vec_id") < 5).select(
@@ -6857,7 +6866,7 @@ def _embed_near_dups(spark, sf):
     exactly 1 — and an index-perturbed copy at ~0.9985)."""
     from batch_import_spark.operators.similarity import embedding_near_duplicates
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = _read_fanout(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     base = emb.where(F.col("vec_id") < 15)

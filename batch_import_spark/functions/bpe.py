@@ -126,6 +126,83 @@ def encode_text(col: Column | str, merges: list[tuple[str, str]]) -> Column:
     return apply_merges(wrap_chars(normalized), merges)
 
 
+def bpe_doc_stats(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bpe_tokens, seg_hash) per document — bit-identical to
+    ``token_count_expr(encode_text(..))`` +
+    ``portable_hash60(segment_expr(encode_text(..)))`` (pinned by
+    tests/test_round7_bpe.py), via one Arrow kernel that encodes each
+    DISTINCT word once per task (merges are word-local, so a
+    dict-cached ``_encode_word`` — the pytest-pinned Python twin of
+    the replace chain — replaces re-scanning every document through
+    the whole merge chain). Normalization stays in the JVM (Java
+    regex semantics); the kernel only splits on the single spaces the
+    normalization guarantees, joins subwords with SEP, and md5-hashes
+    the segmentation exactly like portable_hash60."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_bpe_tokens", T.LongType()),
+            T.StructField("seg_hash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = _encode_word(w, merges)
+                cache[w] = got
+            return got
+
+        for pdf in batches:
+            ids, counts, hashes = [], [], []
+            for _id, t in zip(pdf["_id"], pdf["_t"]):
+                ids.append(_id)
+                if t is None:
+                    # NULL text flows NULL through the expression path
+                    counts.append(None)
+                    hashes.append(None)
+                    continue
+                total = 0
+                segs = []
+                for w in t.split(" "):
+                    syms = enc(w)
+                    total += len(syms)
+                    segs.append(SEP.join(syms))
+                seg_str = " ".join(segs)
+                counts.append(total)
+                hashes.append(
+                    int(
+                        hashlib.md5(seg_str.encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                )
+            # nullable Int64 arrays: a plain list with a None would
+            # coerce to float64 and silently round 60-bit hashes
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bpe_tokens": pd.array(counts, dtype="Int64"),
+                    "seg_hash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return base.mapInPandas(kernel, schema)
+
+
 def _merge_greedy(syms: list[str], left: str, right: str) -> list[str]:
     """Greedy left-to-right non-overlapping merge of one (l, r) pair —
     the exact semantics of ``merge_expr``'s literal replace()."""
