@@ -120,7 +120,7 @@ _DISC_U4_SQL = (
 
 
 def _q1_pricing_summary(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -153,7 +153,7 @@ def _q6_forecast_revenue(spark, sf):
     cap) all push to the parquet scan; one partial+final agg, no
     shuffle of row data. The discount band is expressed in micro-units
     (500..700), engine-exact."""
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     return (
         li.where(
             (F.col("l_shipdate") >= "1994-01-01")
@@ -186,9 +186,9 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 
 
 def _q3_revenue_topk(spark, sf):
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     d4 = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
     return (
         c.where(F.col("c_mktsegment") == "BUILDING")
@@ -226,9 +226,9 @@ def _q5_local_supplier_volume(spark, sf):
     chain for the small dimensions."""
     r = spark.read.parquet(f"{sf}/region.parquet").where(F.col("r_name") == "ASIA")
     n = spark.read.parquet(f"{sf}/nation.parquet")
-    c = spark.read.parquet(f"{sf}/customer.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     s = spark.read.parquet(f"{sf}/supplier.parquet")
     joined = (
         r.join(n, r.r_regionkey == n.n_regionkey)
@@ -261,9 +261,9 @@ GROUP BY n_name
 
 def _j1_index_lookup(spark, sf):
     """Broadcast dict left-join + skip counting (J1/P7 semantics)."""
-    o = spark.read.parquet(f"{sf}/orders.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
     dict_df = (
-        spark.read.parquet(f"{sf}/customer.parquet")
+        _read_fanout(spark, f"{sf}/customer.parquet")
         .where(F.col("c_acctbal") > 500)
         .select("c_custkey")
     )
@@ -288,7 +288,7 @@ GROUP BY o_orderpriority
 
 def _j1_unique_key_rule(spark, sf):
     """getSingle semantics: only keys with exactly one id resolve."""
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     s = spark.read.parquet(f"{sf}/supplier.parquet")
     uniq = (
         c.groupBy("c_nationkey")
@@ -312,7 +312,7 @@ FROM supplier LEFT JOIN (
 
 
 def _o2_edge_normalize(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     return (
         li.where(F.col("l_orderkey") < 100)
         .select(
@@ -347,7 +347,7 @@ SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS node_id, n_name FROM nati
 
 
 def _a4_index_explode(spark, sf):
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     name_e = c.select(
         F.lit("customers").alias("index_name"),
         F.lit("c_name").alias("key_prop"),
@@ -381,7 +381,7 @@ def _a4_rel_index_explode(spark, sf):
     from batch_import_spark.schema import parse_header
     from batch_import_spark.sources.csv_source import ReferenceCsv
 
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") < 200)
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet").where(F.col("l_orderkey") < 200)
     rel_df = li.select(
         F.col("l_orderkey").cast("string").alias("src"),
         F.col("l_partkey").cast("string").alias("end"),
@@ -419,7 +419,7 @@ FROM kept WHERE since IS NOT NULL
 
 
 def _p1_typed_cast(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     return li.where(F.col("l_orderkey") < 50).select(
         F.col("l_orderkey").cast("string").alias("order_str"),
         F.col("l_quantity").cast("int").alias("qty_int"),
@@ -470,7 +470,7 @@ GROUP BY label
 
 
 def _g1_counts(spark, sf):
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_u4("value")).alias("total_value_u4"),
@@ -487,7 +487,7 @@ FROM events GROUP BY event_type
 def _w1_window_running(spark, sf):
     from pyspark.sql.window import Window
 
-    e = spark.read.parquet(f"{sf}/events.parquet").where(F.col("user_id") < 20)
+    e = _read_fanout(spark, f"{sf}/events.parquet").where(F.col("user_id") < 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
@@ -510,7 +510,7 @@ FROM events WHERE user_id < 20
 def _topk_per_group(spark, sf):
     from pyspark.sql.window import Window
 
-    o = spark.read.parquet(f"{sf}/orders.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -536,7 +536,7 @@ FROM (
 
 
 def _set_ops(spark, sf):
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     rich = c.where(F.col("c_acctbal") > 1000).select("c_custkey")
     both = building.intersect(rich).withColumn("tag", F.lit("both"))
@@ -558,7 +558,7 @@ SELECT c_custkey, 'building_only' AS tag FROM (
 
 
 def _rollup_counts(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -596,7 +596,7 @@ def _fulltext_lookup(spark, sf):
         fulltext_lookup,
     )
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     entries = c.select(
         F.lit("customers").alias("index_name"),
         F.lit("c_name").alias("key_prop"),
@@ -640,7 +640,7 @@ SELECT query_id, node_id, n_matched, score, rank FROM ranked WHERE rank <= 3
 
 
 def _cube_counts(spark, sf):
-    o = spark.read.parquet(f"{sf}/orders.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -786,7 +786,7 @@ def _zorder_layout(spark, sf):
     with identical shift/mask arithmetic."""
     from batch_import_spark.operators.layout import zorder_key
 
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     x = F.pmod(F.col("user_id"), F.lit(65536))
     y = F.pmod(
         F.floor(
@@ -2551,7 +2551,7 @@ def _bloom_registers(spark, sf):
     same discipline as the HLL/KMV entries."""
     from batch_import_spark.operators.sketches import bloom_build
 
-    o = spark.read.parquet(f"{sf}/orders.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
     return bloom_build(o, "o_custkey", _BLOOM_M, _BLOOM_K)
 
 
@@ -2562,8 +2562,8 @@ def _bloom_membership(spark, sf):
     shape incremental dedup uses before its anti-join."""
     from batch_import_spark.operators.sketches import bloom_build, bloom_probe
 
-    o = spark.read.parquet(f"{sf}/orders.parquet")
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     regs = bloom_build(o, "o_custkey", _BLOOM_M, _BLOOM_K)
     probes = c.select(F.col("c_custkey").alias("k")).union(
         c.select((F.col("c_custkey") + F.lit(1000000)).alias("k"))
@@ -2628,7 +2628,7 @@ def _cms_heavy_hitters(spark, sf):
     streams too wide to count exactly."""
     from batch_import_spark.operators.sketches import cms_build, cms_estimate
 
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = _read_fanout(spark, f"{sf}/events.parquet")
     regs = cms_build(ev, "user_id", _CMS_W, _CMS_D)
     probes = ev.select("user_id").distinct()
     est = cms_estimate(regs, probes, "user_id", _CMS_W, _CMS_D)
@@ -2701,7 +2701,7 @@ def _mad_outliers(spark, sf):
     interpolation, no floats past the one floor transform."""
     from batch_import_spark.operators.robust import mad_outlier_stats
 
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = _read_fanout(spark, f"{sf}/events.parquet")
     return mad_outlier_stats(ev, ["event_type"], "value", k=3)
 
 
@@ -4219,7 +4219,7 @@ def _interval_coverage(spark, sf):
     running_max_end_before)). The SUM is invariant to tie order, so
     the result is engine-exact; one shuffle on user_id. Complements
     the as-of and range joins in the interval-algebra family."""
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     s = F.col("ts").cast("timestamp").cast("long")
     dur = F.expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0L) % 3600 + 60")
     t = e.select("user_id", s.alias("s"), (s + dur).alias("e"))
@@ -4265,7 +4265,7 @@ FROM sw GROUP BY user_id
 def _value_histogram(spark, sf):
     """Fixed-bin histogram per event_type (integer bucket arithmetic —
     the groupBy is map-side combinable, output is bins × types)."""
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     bucket = F.expr(
         "LEAST((GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0L) * 20) div 10000, 19L)"
     )
@@ -4290,7 +4290,7 @@ def _time_decay_scores(spark, sf):
     carried as integer bit-shifts (weight = 65536 >> age_weeks,
     clamped) — exponential decay with NO floating point, so the score
     is engine-exact. The decay anchor is the corpus max timestamp."""
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     anchor = e.agg(
         F.max(F.col("ts").cast("timestamp").cast("long")).alias("_anchor")
     )
@@ -4331,7 +4331,7 @@ def _feature_minmax(spark, sf):
     """Per-group min-max feature normalization to integer ppm —
     the standard ML feature-scaling pass, exact in fixed point
     (constant-value groups normalize to 0 by convention)."""
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
     w = Window.partitionBy("event_type")
     t = e.select("event_id", "event_type", cents.alias("c")).select(
@@ -4368,7 +4368,7 @@ def _salted_join_counts(spark, sf):
     provably identical to the plain join the oracle runs."""
     from batch_import_spark.operators.skew import salted_join
 
-    e = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "event_type")
+    e = _read_fanout(spark, f"{sf}/events.parquet").select("event_id", "event_type")
     dim = (
         e.select("event_type")
         .distinct()
@@ -4392,7 +4392,7 @@ def _sliding_window_counts(spark, sf):
     events in the trailing hour (value-range frame, not row frame —
     the other window-frame family; tie timestamps share a frame, so
     the result is deterministic without a unique ordering key)."""
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the
     # two-step cast equals DuckDB's epoch(naive_ts)
     ts_sec = F.col("ts").cast("timestamp").cast("long")
@@ -4421,7 +4421,7 @@ FROM events
 def _pivot_counts(spark, sf):
     """groupBy().pivot() — status × priority order-count matrix; the
     oracle is the conditional-aggregation unpivot twin."""
-    o = spark.read.parquet(f"{sf}/orders.parquet")
+    o = _read_fanout(spark, f"{sf}/orders.parquet")
     pr = {
         "1-URGENT": "urgent",
         "2-HIGH": "high",
@@ -4468,7 +4468,7 @@ def _quantile_sketch(spark, sf):
         quantile_sketch_query,
     )
 
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet").select(
         "l_returnflag",
         "l_orderkey",
         F.floor(F.col("l_extendedprice") * 10000).alias("v"),
@@ -4512,7 +4512,7 @@ def _grouped_quantiles(spark, sf):
     identical between Spark `percentile` and DuckDB `quantile_cont`).
     Inputs cast to BIGINT so every interpolated value is a dyadic
     rational, exactly representable — no float-summation divergence."""
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
     q = F.col("l_quantity").cast("long")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.percentile(q, F.lit(0.25)).alias("q25"),
@@ -4539,7 +4539,7 @@ def _hll_users(spark, sf):
     alongside — the oracle rebuilds the registers AND the estimate."""
     from batch_import_spark.operators.sketches import hll_sketch
 
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     sk = hll_sketch(e, ["event_type"], "user_id")
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
@@ -4598,7 +4598,7 @@ def _theta_set_ops(spark, sf):
         theta_sketch,
     )
 
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     a = theta_sketch(e.where(F.col("event_id") % 2 == 0), "user_id")
     b = theta_sketch(e.where(F.col("event_id") % 2 == 1), "user_id")
     return theta_set_ops(a, b)
@@ -4885,7 +4885,7 @@ def _fuzzy_names(spark, sf):
     oracle is the quadratic cross join the operator avoids."""
     from batch_import_spark.operators.fuzzy import fuzzy_join_ed1
 
-    c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_name")
+    c = _read_fanout(spark, f"{sf}/customer.parquet").select("c_custkey", "c_name")
     out = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey")
     return out.where(F.col("c_custkey_l") < F.col("c_custkey_r")).select(
         F.col("c_custkey_l").alias("custkey_a"),
@@ -5084,7 +5084,7 @@ def _triangle_counts(spark, sf):
     hub nodes at 100 TB)."""
     from batch_import_spark.operators.graph_stats import triangle_counts
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 50).alias("src"),
         ((F.col("c_custkey") * 7 + 3) % 50).alias("dst"),
@@ -5122,7 +5122,7 @@ def _pagerank(spark, sf):
     (no float accumulation order to diverge)."""
     from batch_import_spark.operators.graph_stats import pagerank
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     # (src, dst) varies with BOTH c mod 50 and c div 7 — irregular
     # in/out degrees (a permutation graph would sit at PageRank's
     # fixed point and test nothing)
@@ -5174,7 +5174,7 @@ def _ppr(spark, sf):
     rank = integer-exact proximity to them)."""
     from batch_import_spark.operators.graph_stats import pagerank
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 50).alias("src"),
         F.expr("(c_custkey div 7) % 50").alias("dst"),
@@ -5217,7 +5217,7 @@ def _weighted_pagerank(spark, sf):
     mass splits proportionally to weight, all arithmetic BIGINT."""
     from batch_import_spark.operators.graph_stats import pagerank_weighted
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 50).alias("src"),
         F.expr("(c_custkey div 7) % 50").alias("dst"),
@@ -5263,7 +5263,7 @@ def _bfs_hops(spark, sf):
     graph."""
     from batch_import_spark.operators.graph_stats import bfs_distances
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 50).alias("src"),
         F.expr("(c_custkey div 7) % 50").alias("dst"),
@@ -5324,7 +5324,7 @@ def _entity_resolution(spark, sf):
     from batch_import_spark.operators.fuzzy import fuzzy_join_ed1
 
     c = (
-        spark.read.parquet(f"{sf}/customer.parquet")
+        _read_fanout(spark, f"{sf}/customer.parquet")
         .where(F.col("c_custkey") <= 300)
         .select("c_custkey", "c_name")
     )
@@ -5376,7 +5376,7 @@ def _communities(spark, sf):
     oracle."""
     from batch_import_spark.operators.graph_stats import label_propagation
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 500).alias("src"),
         F.expr("(c_custkey div 7) % 500").alias("dst"),
@@ -5425,7 +5425,7 @@ def _modularity(spark, sf):
         modularity_scaled,
     )
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 500).alias("src"),
         F.expr("(c_custkey div 7) % 500").alias("dst"),
@@ -5514,7 +5514,7 @@ def _adjacency_lists(spark, sf):
     """Graph export shape: per-node sorted adjacency list (the
     grouped-ordered-array aggregation every downstream graph tool
     ingests), serialized to CSV strings for engine-stable compare."""
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     from batch_import_spark.operators.graph_stats import undirected_edges
 
     e = undirected_edges(
@@ -5547,7 +5547,7 @@ def _kcore(spark, sf):
     ~5; the SQL runs a fixed 40, idempotent past the fixpoint)."""
     from batch_import_spark.operators.graph_stats import kcore
 
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     edges = c.select(
         (F.col("c_custkey") % 500).alias("src"),
         F.expr("(c_custkey div 7) % 500").alias("dst"),
@@ -5979,7 +5979,7 @@ def _asof_last_click(spark, sf):
     the oracle is DuckDB's native ASOF LEFT JOIN."""
     from batch_import_spark.operators.asof import asof_join
 
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     purchases = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
@@ -6007,7 +6007,7 @@ def _range_window_join(spark, sf):
     Windows with no events drop out (inner semantics, mirrored)."""
     from batch_import_spark.operators.ranges import range_join
 
-    e = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "ts", "value")
+    e = _read_fanout(spark, f"{sf}/events.parquet").select("event_id", "ts", "value")
     base = 1704067200  # 2024-01-01T00:00:00Z — the events epoch
     w = spark.range(100).select(
         F.col("id").alias("window_id"),
@@ -6049,7 +6049,7 @@ def _kmv_distinct_users(spark, sf):
     sketch is oracle-checkable (HLL isn't)."""
     from batch_import_spark.operators.sketches import kmv_distinct
 
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     sk = kmv_distinct(e, ["event_type"], "user_id", k=32)
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
@@ -6093,7 +6093,7 @@ def _time_rollup(spark, sf):
     grains via ROLLUP — the batch form of a continuous aggregate.
     Buckets are date_trunc'd BEFORE the aggregate so partial
     aggregation (map-side combine) applies at every grain."""
-    e = spark.read.parquet(f"{sf}/events.parquet")
+    e = _read_fanout(spark, f"{sf}/events.parquet")
     base = e.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -6183,7 +6183,7 @@ WHERE len(list_intersect(a.ng, b.ng))::DOUBLE / len(list_distinct(list_concat(a.
 def _spatial_points(spark, sf) -> DataFrame:
     """Deterministic lat/lon per customer from the md5 hash — integer
     arithmetic then /10000.0, bit-identical in Spark and DuckDB."""
-    c = spark.read.parquet(f"{sf}/customer.parquet")
+    c = _read_fanout(spark, f"{sf}/customer.parquet")
     h = _h60("c_custkey")
     return c.select(
         F.col("c_custkey").alias("node_id"),

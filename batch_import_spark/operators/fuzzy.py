@@ -96,7 +96,13 @@ def fuzzy_join_ed1(
         rv = lv.select(F.col("_lid").alias("_rid"), "_v")
     else:
         rv = variant_rows(right, right_id, right_key, "_rid", "_rkey")
-    cand = lv.join(rv, "_v").select("_lid", "_rid").distinct()
+    # verify BEFORE deduplicating: most duplicate candidates are true
+    # near-matches reached through several shared variants, so the
+    # distinct over raw candidates shuffles the full candidate volume
+    # (32.8M rows at sf1.0) while the post-verify distinct only
+    # shuffles true ED<=1 pairs — and the levenshtein filter runs
+    # inside the join's codegen stage either way.
+    cand = lv.join(rv, "_v").select("_lid", "_rid")
     # distinct: duplicate (id, key) input rows must not multiply the
     # re-attach join (the old formulation collapsed them in the
     # variant distinct)
@@ -107,10 +113,14 @@ def fuzzy_join_ed1(
         F.col(right_id).alias("_rid"), F.col(right_key).alias("_rkey")
     ).distinct()
     cand = cand.join(lkeys, "_lid").join(rkeys, "_rid")
-    return cand.where(F.levenshtein("_lkey", "_rkey") <= 1).select(
-        F.col("_lid").alias(left_id + "_l"),
-        F.col("_rid").alias(right_id + "_r"),
-        F.col("_lkey").alias("key_l"),
-        F.col("_rkey").alias("key_r"),
-        F.levenshtein("_lkey", "_rkey").alias("distance"),
+    return (
+        cand.where(F.levenshtein("_lkey", "_rkey") <= 1)
+        .select(
+            F.col("_lid").alias(left_id + "_l"),
+            F.col("_rid").alias(right_id + "_r"),
+            F.col("_lkey").alias("key_l"),
+            F.col("_rkey").alias("key_r"),
+            F.levenshtein("_lkey", "_rkey").alias("distance"),
+        )
+        .dropDuplicates([left_id + "_l", right_id + "_r"])
     )

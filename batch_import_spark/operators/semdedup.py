@@ -53,7 +53,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from batch_import_spark.operators.similarity import (
+    _assign_cells_arrow,
     _nearest_cell,
+    _seq_dot_matrix,
     ivf_seed_centroids,
 )
 
@@ -64,92 +66,6 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-
-
-def _seq_dot_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """All pairwise dots of the rows of V (n x d) against the rows of
-    C (k x d) with the accumulation running over dimensions in
-    ascending order — each (i, j) entry performs EXACTLY the IEEE-754
-    step sequence of the JVM fold ``aggregate(zip_with(v, c, *),
-    0.0, +)``, so results are bit-identical to the expression path
-    (a plain matmul uses pairwise/blocked summation and is not)."""
-    out = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
-    for d in range(V.shape[1]):
-        out += np.outer(V[:, d], C[:, d])
-    return out
-
-
-def _assign_cells_arrow(
-    base: DataFrame, centroids: list[list[float]]
-) -> DataFrame:
-    """(id, v, cell, nrm) via one Arrow kernel — bit-identical to
-    ``withColumn("cell", _nearest_cell(...)).withColumn("nrm",
-    sqrt(dot(v, v)))`` (pinned by tests/test_round7_semdedup.py):
-
-    - per-cell scores accumulate over dimensions in ascending order
-      (same IEEE sequence as the zip_with fold);
-    - argmax ties break to the lowest cell (np.argmax returns the
-      first maximum, matching the (score, -cell) struct max), and a
-      NaN score wins every comparison in both engines;
-    - malformed rows (length != centroid dim, or a NULL element)
-      make every cell score NULL in the expression path, whose
-      struct-max then lands on cell 0 with a NULL norm — replayed
-      verbatim here.
-    """
-    C = np.asarray(centroids, dtype=np.float64)
-    k, dim = C.shape
-    id_type = base.schema["id"].dataType
-    schema = T.StructType(
-        [
-            T.StructField("id", id_type),
-            T.StructField("v", base.schema["v"].dataType),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("nrm", T.DoubleType()),
-        ]
-    )
-
-    def kernel(batches):
-        for pdf in batches:
-            n = len(pdf)
-            # wrong-length vectors: the zip_with null-padding makes
-            # every CELL SCORE null, whose struct-max is cell 0 — but
-            # the self-norm zips the vector against itself (no
-            # padding) and stays real. Element NULLs arrive as NaN
-            # through Arrow and follow the NaN path (all-NaN scores
-            # -> cell 0; NaN norm), same as the JVM's NaN-is-greatest
-            # ordering. NULL vectors keep NULL norm.
-            cells = np.zeros(n, dtype=np.int32)
-            nrm_out: list = [None] * n
-            by_len: dict[int, list[int]] = {}
-            for i, v in enumerate(pdf["v"]):
-                if v is not None:
-                    by_len.setdefault(len(v), []).append(i)
-            for ln, idxs in by_len.items():
-                V = np.stack(
-                    [np.asarray(pdf["v"].iloc[i], dtype=np.float64) for i in idxs]
-                )
-                NB = np.zeros(len(idxs), dtype=np.float64)
-                for d in range(ln):
-                    NB += V[:, d] * V[:, d]
-                nv = np.sqrt(NB)
-                am = (
-                    np.argmax(_seq_dot_matrix(V, C), axis=1).astype(np.int32)
-                    if ln == dim
-                    else np.zeros(len(idxs), dtype=np.int32)
-                )
-                for j, i in enumerate(idxs):
-                    cells[i] = am[j]
-                    nrm_out[i] = float(nv[j])
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "v": pdf["v"],
-                    "cell": cells,
-                    "nrm": nrm_out,
-                }
-            )
-
-    return base.mapInPandas(kernel, schema)
 
 
 def _cell_pairs_arrow(small: DataFrame, threshold: float) -> DataFrame:

@@ -57,6 +57,79 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def _assign_cells_arrow(
+    base: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """(id, v, cell, nrm) via one Arrow kernel — bit-identical to
+    ``withColumn("cell", _nearest_cell(...)).withColumn("nrm",
+    sqrt(dot(v, v)))`` (pinned by tests/test_round7_semdedup.py):
+
+    - per-cell scores accumulate over dimensions in ascending order
+      (same IEEE sequence as the zip_with fold);
+    - argmax ties break to the lowest cell (np.argmax returns the
+      first maximum, matching the (score, -cell) struct max), and a
+      NaN score wins every comparison in both engines;
+    - malformed rows (length != centroid dim, or a NULL element)
+      make every cell score NULL in the expression path, whose
+      struct-max then lands on cell 0 with a NULL norm — replayed
+      verbatim here.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    id_type = base.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("v", base.schema["v"].dataType),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            # wrong-length vectors: the zip_with null-padding makes
+            # every CELL SCORE null, whose struct-max is cell 0 — but
+            # the self-norm zips the vector against itself (no
+            # padding) and stays real. Element NULLs arrive as NaN
+            # through Arrow and follow the NaN path (all-NaN scores
+            # -> cell 0; NaN norm), same as the JVM's NaN-is-greatest
+            # ordering. NULL vectors keep NULL norm.
+            cells = np.zeros(n, dtype=np.int32)
+            nrm_out: list = [None] * n
+            by_len: dict[int, list[int]] = {}
+            for i, v in enumerate(pdf["v"]):
+                if v is not None:
+                    by_len.setdefault(len(v), []).append(i)
+            for ln, idxs in by_len.items():
+                V = np.stack(
+                    [np.asarray(pdf["v"].iloc[i], dtype=np.float64) for i in idxs]
+                )
+                NB = np.zeros(len(idxs), dtype=np.float64)
+                for d in range(ln):
+                    NB += V[:, d] * V[:, d]
+                nv = np.sqrt(NB)
+                am = (
+                    np.argmax(_seq_dot_matrix(V, C), axis=1).astype(np.int32)
+                    if ln == dim
+                    else np.zeros(len(idxs), dtype=np.int32)
+                )
+                for j, i in enumerate(idxs):
+                    cells[i] = am[j]
+                    nrm_out[i] = float(nv[j])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "cell": cells,
+                    "nrm": nrm_out,
+                }
+            )
+
+    return base.mapInPandas(kernel, schema)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -378,14 +451,26 @@ def ivf_ann_topk(
     norm recomputation into every HOF lambda reference — a measured
     14× row-cost blowup.
     """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
     if centroids is None:
         centroids = ivf_seed_centroids(corpus, n_cells, id_col, vec_col)
     if refine_iters:
         centroids = ivf_refine_centroids(
             corpus, centroids, refine_iters, id_col, vec_col
         )
-    assigned = c.withColumn("cell", _nearest_cell("c_vec", centroids))
+    # corpus assignment via the Arrow kernel (bit-identical to the
+    # _nearest_cell expression; the kernel's per-row norm is the same
+    # sqrt(sequential sum of squares) l2_norm computes, so the
+    # re-rank below reuses it instead of re-folding the corpus vector
+    # twice per candidate pair)
+    assigned = _assign_cells_arrow(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        centroids,
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("v").alias("c_vec"),
+        "cell",
+        F.col("nrm").alias("c_nrm"),
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -410,11 +495,20 @@ def ivf_ann_topk(
         # constant out of the broadcast subplan that AQE re-optimizes
         .localCheckpoint(eager=True)
     )
-    # cells are disjoint and probes are distinct per query → no dedup needed
+    # cells are disjoint and probes are distinct per query → no dedup
+    # needed. Cosine denominator from per-ROW norms (q_nrm computed
+    # once per probe row, c_nrm from the assignment kernel): the same
+    # sqrt(sequential-sum-of-squares) value l2_norm yields, evaluated
+    # once per side instead of twice per candidate pair.
+    probes = probes.withColumn("q_nrm", l2_norm(F.col("q_vec")))
+    denom = F.col("q_nrm") * F.col("c_nrm")
+    cos = F.when(
+        denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom
+    ).otherwise(F.lit(0.0))
     cand = assigned.join(F.broadcast(probes), "cell").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
