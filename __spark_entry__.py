@@ -186,9 +186,11 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 
 
 def _q3_revenue_topk(spark, sf):
-    c = _read_fanout(spark, f"{sf}/customer.parquet")
-    o = _read_fanout(spark, f"{sf}/orders.parquet")
-    li = _read_fanout(spark, f"{sf}/lineitem.parquet")
+    # plain reads: both joins shuffle their big side by key anyway, so
+    # a pre-join fan-out is a pure extra pass over lineitem
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
     d4 = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
     return (
         c.where(F.col("c_mktsegment") == "BUILDING")
@@ -2628,7 +2630,11 @@ def _cms_heavy_hitters(spark, sf):
     streams too wide to count exactly."""
     from batch_import_spark.operators.sketches import cms_build, cms_estimate
 
-    ev = _read_fanout(spark, f"{sf}/events.parquet")
+    # plain read: cms consumes the scan three times (registers,
+    # probe set, exact counts) and the per-row work is one hash — a
+    # fan-out shuffle per consumer costs more than the single-task
+    # scan saves (round-7 measurement)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
     regs = cms_build(ev, "user_id", _CMS_W, _CMS_D)
     probes = ev.select("user_id").distinct()
     est = cms_estimate(regs, probes, "user_id", _CMS_W, _CMS_D)
@@ -6049,7 +6055,9 @@ def _kmv_distinct_users(spark, sf):
     sketch is oracle-checkable (HLL isn't)."""
     from batch_import_spark.operators.sketches import kmv_distinct
 
-    e = _read_fanout(spark, f"{sf}/events.parquet")
+    # plain read: two cheap aggregate consumers (same rationale as
+    # cms_heavy_hitters above)
+    e = spark.read.parquet(f"{sf}/events.parquet")
     sk = kmv_distinct(e, ["event_type"], "user_id", k=32)
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")

@@ -53,26 +53,49 @@ def mad_outlier_stats(
     all in integer micro-units. MAD = 0 (constant-majority group)
     flags any deviation as an outlier, which is the conventional
     degenerate-case reading."""
+    # round-7 shape: ONE grouped Arrow kernel — the window formulation
+    # re-derived the quantized scan four times and paid two full
+    # per-group window sorts plus three joins; order statistics over
+    # int64 micro-units are exact in numpy (np.sort + index ==
+    # row_number asc + rank select), so medians, MAD and the outlier
+    # count are bit-identical (pinned by tests/test_robust.py and the
+    # mad_outliers oracle). Per-group rows must fit one Arrow batch —
+    # the same single-task-per-group bound the window had.
+    import numpy as np
+    import pandas as pd
+
     v = df.select(
         *group_cols,
         F.floor(F.col(value_col) * MICRO).cast("long").alias("_v"),
     )
-    med = _lower_median(v, group_cols, "_v", "med_micro")
-    dev = v.join(med, group_cols).select(
-        *group_cols,
-        "_v",
-        "med_micro",
-        F.abs(F.col("_v") - F.col("med_micro")).alias("_dev"),
+    out_fields = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols]
+        + ["n long", "med_micro long", "mad_micro long", "n_outliers long"]
     )
-    mad = _lower_median(
-        dev.select(*group_cols, "_dev"), group_cols, "_dev", "mad_micro"
-    )
-    joined = dev.join(mad, group_cols)
-    return joined.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("med_micro").cast("long").alias("med_micro"),
-        F.min("mad_micro").cast("long").alias("mad_micro"),
-        F.sum(
-            (F.col("_dev") > F.lit(k) * F.col("mad_micro")).cast("long")
-        ).cast("long").alias("n_outliers"),
-    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["_v"].isna().any():
+            raise ValueError(
+                "mad_outlier_stats: NULL values unsupported — the "
+                "quantized value column must be non-null"
+            )
+        vals = pdf["_v"].to_numpy(dtype=np.int64)
+        n = len(vals)
+        sv = np.sort(vals, kind="stable")
+        med = int(sv[(n + 1) // 2 - 1])
+        dev = np.abs(vals - med)
+        sd = np.sort(dev, kind="stable")
+        mad = int(sd[(n + 1) // 2 - 1])
+        n_out = int((dev > k * mad).sum())
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row.update(
+            {
+                "n": [n],
+                "med_micro": [med],
+                "mad_micro": [mad],
+                "n_outliers": [n_out],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return v.groupBy(*group_cols).applyInPandas(kernel, out_fields)

@@ -148,15 +148,15 @@ def test_round4_query_plan_shapes(spark):
         assert "NestedLoop" not in p and "Cartesian" not in p, name
 
     # zero-shuffle invariants: tokenize + both fingerprint/chunk maps.
-    # cdc_chunks (round 7) allows exactly one ROUND-ROBIN repartition:
-    # the Arrow cut kernel fans the narrow normalized-text table out
-    # to the session's parallelism when the source collapses to fewer
-    # scan partitions — a fixed-width fan-out, not a keyed shuffle.
-    for name in ("bpe_tokenize", "rolling_fingerprint"):
-        assert "Exchange" not in plan_of(name), name
-    cdc_plan = plan_of("cdc_chunks")
+    # cdc_chunks and bpe_tokenize (round 7) allow exactly one
+    # ROUND-ROBIN repartition: their Arrow kernels fan the narrow
+    # input out to the session's parallelism when the source collapses
+    # to fewer scan partitions — a fixed-width fan-out, not a keyed
+    # shuffle.
     import re as _re
 
-    exchanges = _re.findall(r"Exchange \w+", cdc_plan)
-    assert all("RoundRobinPartitioning" in e for e in exchanges), cdc_plan
-    assert len(exchanges) <= 1, cdc_plan
+    for name in ("rolling_fingerprint", "cdc_chunks", "bpe_tokenize"):
+        plan = plan_of(name)
+        exchanges = _re.findall(r"Exchange \w+", plan)
+        assert all("RoundRobinPartitioning" in e for e in exchanges), plan
+        assert len(exchanges) <= 1, plan

@@ -48,8 +48,14 @@ def test_round5_query_plan_shapes(spark):
     p = plan_of("semantic_dedup")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
-    # pii redaction is a pure codegen regex chain: zero shuffles
-    assert "Exchange" not in plan_of("pii_redact")
+    # pii redaction is a pure codegen regex chain: no KEYED shuffle.
+    # Round 7 allows the single round-robin scan fan-out (_read_fanout)
+    # that parallelizes single-row-group local inputs.
+    import re as _re
+
+    pii_exchanges = _re.findall(r"Exchange \w+", plan_of("pii_redact"))
+    assert all("RoundRobinPartitioning" in e for e in pii_exchanges)
+    assert len(pii_exchanges) <= 1
 
     # ivf-pq candidates must ship codes, never raw vectors: the join
     # output carries the codes array and the post-join projection has

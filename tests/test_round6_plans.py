@@ -33,12 +33,12 @@ def test_round6_query_plan_shapes(spark):
         p = plan_of(name)
         assert "NestedLoop" not in p and "CartesianProduct" not in p, name
 
-    # dsir: the ONLY join is the broadcast 128-row lambda table —
-    # no SortMergeJoin (the target flag rides the featurize groupBy,
-    # never joined back) and no products
+    # dsir: round 7 removed the last join entirely — the 128-entry
+    # lambda table is a literal array indexed per gram row, so the
+    # plan must be JOIN-FREE (no SortMergeJoin ever sneaks the target
+    # flag back in) and product-free
     p = plan_of("dsir_select")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
 
     # sanctioned broadcast-small cross joins, pinned to their counts:
