@@ -263,9 +263,11 @@ GROUP BY n_name
 
 def _j1_index_lookup(spark, sf):
     """Broadcast dict left-join + skip counting (J1/P7 semantics)."""
-    o = _read_fanout(spark, f"{sf}/orders.parquet")
+    # plain reads: one broadcast lookup + one combinable aggregate —
+    # the fan-out shuffle costs more than the scan work (round 7)
+    o = spark.read.parquet(f"{sf}/orders.parquet")
     dict_df = (
-        _read_fanout(spark, f"{sf}/customer.parquet")
+        spark.read.parquet(f"{sf}/customer.parquet")
         .where(F.col("c_acctbal") > 500)
         .select("c_custkey")
     )
@@ -383,7 +385,11 @@ def _a4_rel_index_explode(spark, sf):
     from batch_import_spark.schema import parse_header
     from batch_import_spark.sources.csv_source import ReferenceCsv
 
-    li = _read_fanout(spark, f"{sf}/lineitem.parquet").where(F.col("l_orderkey") < 200)
+    # plain read ON PURPOSE: dense rel-id assignment is stable in the
+    # INPUT's partition layout (ids.py O4), so a round-robin fan-out
+    # would re-deal rows and shift the creation-order ids (caught by
+    # the round-7 oracle gate)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") < 200)
     rel_df = li.select(
         F.col("l_orderkey").cast("string").alias("src"),
         F.col("l_partkey").cast("string").alias("end"),
@@ -657,7 +663,7 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def _dedup_exact(spark, sf):
     from batch_import_spark.operators.dedup import exact_dedup
 
-    d = _read_fanout(spark, f"{sf}/documents.parquet")
+    d = spark.read.parquet(f"{sf}/documents.parquet")
     fp = F.md5(F.substring(F.col("text"), 1, 20))
     return exact_dedup(d, fp).select("doc_id")
 
@@ -788,7 +794,7 @@ def _zorder_layout(spark, sf):
     with identical shift/mask arithmetic."""
     from batch_import_spark.operators.layout import zorder_key
 
-    e = _read_fanout(spark, f"{sf}/events.parquet")
+    e = spark.read.parquet(f"{sf}/events.parquet")
     x = F.pmod(F.col("user_id"), F.lit(65536))
     y = F.pmod(
         F.floor(
@@ -4545,7 +4551,7 @@ def _hll_users(spark, sf):
     alongside — the oracle rebuilds the registers AND the estimate."""
     from batch_import_spark.operators.sketches import hll_sketch
 
-    e = _read_fanout(spark, f"{sf}/events.parquet")
+    e = spark.read.parquet(f"{sf}/events.parquet")
     sk = hll_sketch(e, ["event_type"], "user_id")
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
@@ -5985,7 +5991,7 @@ def _asof_last_click(spark, sf):
     the oracle is DuckDB's native ASOF LEFT JOIN."""
     from batch_import_spark.operators.asof import asof_join
 
-    e = _read_fanout(spark, f"{sf}/events.parquet")
+    e = spark.read.parquet(f"{sf}/events.parquet")
     purchases = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
@@ -6013,7 +6019,7 @@ def _range_window_join(spark, sf):
     Windows with no events drop out (inner semantics, mirrored)."""
     from batch_import_spark.operators.ranges import range_join
 
-    e = _read_fanout(spark, f"{sf}/events.parquet").select("event_id", "ts", "value")
+    e = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "ts", "value")
     base = 1704067200  # 2024-01-01T00:00:00Z — the events epoch
     w = spark.range(100).select(
         F.col("id").alias("window_id"),
@@ -6101,7 +6107,7 @@ def _time_rollup(spark, sf):
     grains via ROLLUP — the batch form of a continuous aggregate.
     Buckets are date_trunc'd BEFORE the aggregate so partial
     aggregation (map-side combine) applies at every grain."""
-    e = _read_fanout(spark, f"{sf}/events.parquet")
+    e = spark.read.parquet(f"{sf}/events.parquet")
     base = e.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
