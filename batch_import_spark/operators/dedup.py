@@ -179,22 +179,26 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) pairs with exact Jaccard ≥ threshold.
 
-    Pipeline: shingle → minhash → band → self-join on band bucket →
-    distinct candidate pairs → exact verification. The band join and
-    the verify join shuffle only scalar rows; exact Jaccard comes
-    from a count-based intersection (|A∩B| via a (shingle, id) join
-    restricted to candidate pairs, |A|/|B| from per-doc counts), so
-    no row ever carries a full shingle set — the giant-row /
-    collect_set memory profile that kills 100 TB runs never forms.
+    Pipeline: shingle → minhash → band → per-band sorted member list
+    (bounded by the bucket cap) → positional pair explode → distinct
+    candidate pairs → exact verification. The band aggregation and
+    the pair explode move only scalar ids; per-band state is at most
+    ``max_bucket_size`` longs because over-cap bands are dropped by a
+    broadcast anti-join BEFORE members are gathered — the giant-row /
+    unbounded collect_set memory profile that kills 100 TB runs never
+    forms. (This replaced the round-6 band self-join: the join's two
+    sides each re-evaluated the whole signature aggregation —
+    plan-audited 2x — for the identical pair set.)
     Results are exact w.r.t. the threshold (LSH affects recall only
     through banding parameters). ``threshold`` must be > 0 (the
     verify join drops zero-intersection candidates by construction).
     ``max_bucket_size`` is the degenerate-band guard (see
     operators.buckets) and is ON by default (10k): bands with more
     members are dropped lazily in-plan before the quadratic
-    self-join, so a naive caller is quadratic-safe. Pass ``None`` to
-    opt out (lossless candidate generation, e.g. for exact oracles);
-    for counted/logged drops run operators.buckets.cap_hot_buckets
+    pair explode, so a naive caller is quadratic-safe. Pass ``None``
+    to opt out (lossless candidate generation, e.g. for exact
+    oracles — note the per-band list is then unbounded); for
+    counted/logged drops run operators.buckets.cap_hot_buckets
     with ``eager_stats=True`` on the banded frame.
     """
     # round-7 shape: the shingle-ARRAY table is staged (tokenization
@@ -234,14 +238,29 @@ def minhash_near_duplicates(
     # num_bands× through the self-join multiplies shuffle volume by
     # the band count
     banded = base.select("id", F.explode(lsh_bands(F.col("sig"), num_bands)).alias("band"))
+    # materialize the banded table once (id, band — O(corpus x bands)
+    # scalar rows): the bucket-cap count branch and the pair generator
+    # below otherwise each re-run the whole shingle-explode +
+    # num_hashes-min signature aggregation (plan-audited: the sig
+    # subtree appeared 4x in the round-6 self-join formulation).
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         from batch_import_spark.operators.buckets import cap_hot_buckets
 
         banded, _ = cap_hot_buckets(banded, ["band"], max_bucket_size, eager_stats=False)
+    # pair generation WITHOUT a band self-join: group the (post-cap)
+    # bucket members into one sorted list per band and emit each
+    # unordered pair once by position (j > i ⇒ id_a < id_b after
+    # sort_array). Bucket state is bounded by max_bucket_size, so the
+    # collect_list row is ≤ cap longs — the degenerate-bucket guard
+    # above still drops over-cap buckets before anything is gathered.
+    # Same pair set as the former join (a doc appears once per band),
+    # one aggregation instead of two join-side re-evaluations.
+    ids = F.sort_array(F.collect_list("id")).alias("ids")
+    grouped = banded.groupBy("band").agg(ids).where(F.size("ids") > 1)
     cand = (
-        banded.join(banded.select(F.col("band"), F.col("id").alias("id_b")), "band")
-        .where(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("id_a"), "id_b")
+        grouped.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+        .select("id_a", F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact verify: arrays are distinct per doc (word_shingles), so
