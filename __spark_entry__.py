@@ -4898,7 +4898,7 @@ def _fuzzy_names(spark, sf):
     from batch_import_spark.operators.fuzzy import fuzzy_join_ed1
 
     c = _read_fanout(spark, f"{sf}/customer.parquet").select("c_custkey", "c_name")
-    out = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey")
+    out = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey", lt_only=True)
     return out.where(F.col("c_custkey_l") < F.col("c_custkey_r")).select(
         F.col("c_custkey_l").alias("custkey_a"),
         F.col("c_custkey_r").alias("custkey_b"),
@@ -5340,7 +5340,7 @@ def _entity_resolution(spark, sf):
         .where(F.col("c_custkey") <= 300)
         .select("c_custkey", "c_name")
     )
-    pairs = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey")
+    pairs = fuzzy_join_ed1(c, c, "c_name", "c_name", "c_custkey", "c_custkey", lt_only=True)
     edges = pairs.where(F.col("c_custkey_l") < F.col("c_custkey_r")).select(
         F.col("c_custkey_l").alias("u"), F.col("c_custkey_r").alias("v")
     )

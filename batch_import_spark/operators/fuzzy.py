@@ -49,11 +49,17 @@ def fuzzy_join_ed1(
     right_key: str,
     left_id: str,
     right_id: str,
+    lt_only: bool = False,
 ) -> DataFrame:
     """All (left_id, right_id, left_key, right_key, distance) pairs
     with levenshtein(left_key, right_key) ≤ 1, computed via a
     deletion-neighborhood equi-join + exact verify (never a nested
-    loop). Self-join callers should filter ``left_id < right_id``."""
+    loop). Self-join callers should filter ``left_id < right_id`` —
+    or pass ``lt_only=True`` to push that filter onto the CANDIDATE
+    set, before the verify: a self-join's candidates are symmetric
+    ((a,b) and (b,a) both appear) and include every (a,a), so the
+    filter halves the levenshtein/re-attach/distinct volume while
+    provably dropping only rows the caller would discard."""
     # round-7 shape:
     # - variants come from an exploded INDEX sequence with the string
     #   surgery as a codegen row expression (the array-lambda form is
@@ -103,6 +109,8 @@ def fuzzy_join_ed1(
     # shuffles true ED<=1 pairs — and the levenshtein filter runs
     # inside the join's codegen stage either way.
     cand = lv.join(rv, "_v").select("_lid", "_rid")
+    if lt_only:
+        cand = cand.where(F.col("_lid") < F.col("_rid"))
     # distinct: duplicate (id, key) input rows must not multiply the
     # re-attach join (the old formulation collapsed them in the
     # variant distinct)
@@ -113,14 +121,21 @@ def fuzzy_join_ed1(
         F.col(right_id).alias("_rid"), F.col(right_key).alias("_rkey")
     ).distinct()
     cand = cand.join(lkeys, "_lid").join(rkeys, "_rid")
+    # threshold-bounded levenshtein (Spark 3.5+): banded O(len) DP with
+    # early exit instead of the full O(len^2) table — EXACT for this
+    # verify (returns the true distance when <= 1, -1 otherwise, so
+    # `>= 0` == `full distance <= 1` and the value is unchanged).
+    # The verify is the dominant per-candidate cost (~55 CPU-s at
+    # sf1.0 with the full DP — round-7 stage profile).
+    dist = F.levenshtein("_lkey", "_rkey", 1)
     return (
-        cand.where(F.levenshtein("_lkey", "_rkey") <= 1)
+        cand.where(dist >= 0)
         .select(
             F.col("_lid").alias(left_id + "_l"),
             F.col("_rid").alias(right_id + "_r"),
             F.col("_lkey").alias("key_l"),
             F.col("_rkey").alias("key_r"),
-            F.levenshtein("_lkey", "_rkey").alias("distance"),
+            dist.alias("distance"),
         )
         .dropDuplicates([left_id + "_l", right_id + "_r"])
     )
