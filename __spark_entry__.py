@@ -191,18 +191,29 @@ def _q3_revenue_topk(spark, sf):
     c = spark.read.parquet(f"{sf}/customer.parquet")
     o = spark.read.parquet(f"{sf}/orders.parquet")
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    d4 = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    # round 7: the decimal(18,4) product/sum ran the whole aggregation
+    # on BigDecimal (precision 38 exceeds Spark's compact-long decimal).
+    # Exact integer reformulation: the decimal(18,4) CAST (the rounding
+    # anchor — bit-identical to the oracle's) is kept, its unscaled
+    # value extracted as a BIGINT (x*10000 is integral at scale 4), the
+    # per-row product ep_u4*(1e4-disc_u4) and the group sum run in
+    # 64-bit integers (max |group sum| ~ 1.7e14 << 2^63), and the final
+    # ROUND(x, 2) is the half-up (s+5e5) DIV 1e6 on the non-negative
+    # sum, converted back to DECIMAL(18,2) exactly. Pinned equal
+    # (values + schema) to the decimal formulation at sf0.001-1.0.
+    u4 = lambda c_: F.expr(f"CAST(CAST({c_} AS DECIMAL(18,4)) * 10000 AS BIGINT)")  # noqa: E731
+    prod = u4("l_extendedprice") * (F.lit(10000).cast("long") - u4("l_discount"))
     return (
         c.where(F.col("c_mktsegment") == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey")
-        .agg(
-            F.round(
-                F.sum(d4("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d4("l_discount"))), 2
-            )
-            .cast("decimal(18,2)")
-            .alias("revenue")
+        .agg(F.sum(prod).alias("_s8"))
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CAST(CAST((_s8 + 500000) DIV 1000000 AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))"
+            ).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
