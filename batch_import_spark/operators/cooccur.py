@@ -40,18 +40,27 @@ def cooccurrence_lift(
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
     )
-    per_doc = docs.select(
-        F.col(id_col).alias("doc"), toks.alias("ts")
-    ).where(F.size("ts").between(1, max_doc_terms))
-    # one extra deterministic pass for N; cheaper than holding the
-    # tokenized corpus in cache across the caller's session
+    # sorted distinct-token array per doc, materialized once: it feeds
+    # the N count, the unary term counts AND the pair generator — the
+    # round-6 shape re-ran the tokenization for each (4x) and built
+    # pairs with a doc-keyed self-join of the exploded term table.
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc"), F.sort_array(toks).alias("ts"))
+        .where(F.size("ts").between(1, max_doc_terms))
+        .localCheckpoint(eager=False)
+    )
     n_docs = per_doc.count()
     term = per_doc.select("doc", F.explode("ts").alias("t"))
     n_term = term.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
-    a = term.select("doc", F.col("t").alias("term_a"))
-    b = term.select(F.col("doc").alias("doc_b"), F.col("t").alias("term_b"))
+    # unordered pairs by POSITION in the sorted array (j > i ⇒
+    # term_a < term_b): the same pair multiset the self-join produced,
+    # without a join — per-doc fanout stays bounded by max_doc_terms²/2
     pairs = (
-        a.join(b, (a["doc"] == b["doc_b"]) & (a["term_a"] < b["term_b"]))
+        per_doc.select(F.posexplode("ts").alias("_i", "term_a"), "ts")
+        .select(
+            "term_a",
+            F.explode(F.slice("ts", F.col("_i") + 2, F.size("ts"))).alias("term_b"),
+        )
         .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_count)

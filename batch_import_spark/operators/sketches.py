@@ -471,10 +471,29 @@ def theta_set_ops(
     """Estimate |A|, |B|, |A ∪ B|, |A ∩ B| from two theta sketches
     (single-row output; every column BIGINT-exact given the
     registers). Intersection-by-inclusion-exclusion would also work;
-    register intersection is direct and never negative."""
-    na, nb = a.count(), b.count()
-    n_union = a.union(b).distinct().count()
-    n_inter = a.join(b, "h", "left_semi").count()
+    register intersection is direct and never negative.
+
+    All four register counts come from ONE job: union the two register
+    tables with a side tag, group by register, and take membership
+    flags — the former count()/union().count()/semi-join.count()
+    sequence was four driver actions that re-evaluated each sketch's
+    upstream scan three times (round-7 measurement)."""
+    flags = (
+        a.select(F.col("h"), F.lit(0).alias("_s"))
+        .unionAll(b.select(F.col("h"), F.lit(1).alias("_s")))
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("_s") == 0, 1).otherwise(0)).alias("_ia"),
+            F.max(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("_ib"),
+        )
+    )
+    row = flags.agg(
+        F.coalesce(F.sum("_ia"), F.lit(0)).alias("na"),
+        F.coalesce(F.sum("_ib"), F.lit(0)).alias("nb"),
+        F.count(F.lit(1)).alias("nu"),
+        F.coalesce(F.sum(F.col("_ia") * F.col("_ib")), F.lit(0)).alias("ni"),
+    ).collect()[0]
+    na, nb, n_union, n_inter = row["na"], row["nb"], row["nu"], row["ni"]
     spark = a.sparkSession
     scale = 1 << frac_bits
     return spark.createDataFrame(
