@@ -90,11 +90,23 @@ def tfidf_top_terms(
     exchange). The df table is vocabulary-sized → broadcast join.
     The corpus size N is one count job (documented scalar).
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    # explode the raw split and drop empties with a codegen'd row
+    # Filter — the array-lambda filter is CodegenFallback (interpreted
+    # per element; round-7 finding). Same token multiset.
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    # materialize tf once: it feeds the document-frequency aggregation
+    # AND the scored join's probe side — without this the whole
+    # explode + (doc, token) aggregation runs twice (plan-audited
+    # round 7). (doc_id, token, tf) rows persist MEMORY_AND_DISK —
+    # corpus-grain but narrow, spillable.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     # precompute N·10^6 as a python int and inline it as a BIGINT
