@@ -51,11 +51,49 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return to_min.union(self_edge).where(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_cc_edges(spark, e: DataFrame) -> DataFrame:
+    """Union-find over a collected (u, v) edge table; min-id election.
+    Same output contract as the distributed loop: one (node_id,
+    component_id) row per node appearing in the (self-loop-filtered)
+    edge set, component_id = the component's min node id."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = StructType(
+        [
+            StructField("node_id", e.schema[0].dataType, True),
+            StructField("component_id", e.schema[1].dataType, True),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
     max_iterations: int = 50,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Return (node_id, component_id) with component_id = min id.
 
@@ -63,6 +101,16 @@ def connected_components(
     from it map to themselves (callers union identity if needed).
     Convergence: edge multiset fingerprint (count + hash-sum) stable
     across a large+small round.
+
+    Edge sets at or under ``driver_threshold`` (default
+    DRIVER_CC_THRESHOLD; the count is already paid to size the
+    iteration's shuffles) take a DRIVER-SIDE union-find — the CC
+    analog of a broadcast join, the same dispatch canonical_mapping
+    has always used for vocabulary-bounded inputs — skipping the
+    multi-round shuffle loop's scheduling floor entirely. Both paths
+    elect the min node id per component over the self-loop-filtered
+    distinct edge set: identical, deterministic results
+    (pytest-pinned on randomized graphs, test_round7_cc.py).
     """
     spark = edges.sparkSession
     sc0 = spark.sparkContext
@@ -80,6 +128,15 @@ def connected_components(
     # couple of 1-partition rounds; a billion-edge graph keeps the
     # session's width. ~1M edges per partition.
     n_edges = e.count()
+    if driver_threshold is None:
+        driver_threshold = DRIVER_CC_THRESHOLD
+    if n_edges <= driver_threshold:
+        out = _driver_cc_edges(spark, e)
+        jmap = sc0._jsc.getPersistentRDDs()
+        for rid in input_ckpt_ids:
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+        return out
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     cc_parts = max(1, min(int(saved), n_edges // 1_000_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
