@@ -539,19 +539,36 @@ def louvain_refine(
     from batch_import_spark.operators.sketches import portable_hash60
 
     e = undirected_edges(df, src, dst)
-    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    m_df = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # loop invariants, materialized once: the doubled edge list and the
+    # degree table are referenced in every colored sub-step (deg twice
+    # per sub-step: the community-total join and the mover join), and m
+    # is a scalar — collected here and inlined as a literal instead of
+    # a per-sub-step aggregate+broadcast (round 7; results unchanged,
+    # the sub-step arithmetic is identical).
+    both = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = (
+        both.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    m_val = int(e.count())
     a = assign.select(F.col(node).alias("n"), F.col(community).alias("c"))
 
     spark = df.sparkSession
     prev_ids: set = set()
     for _ in range(sweeps):
         for ci in range(colors):
+            # tot and kuc are each read twice inside one sub-step
+            # (current-community attributes + candidate scoring):
+            # lazy checkpoints make the second reference a block read
+            # instead of a re-aggregation.
             tot = (
                 a.join(deg, a["n"] == deg["u"])
                 .groupBy("c")
                 .agg(F.sum("d").cast("long").alias("tot"))
+                .localCheckpoint(eager=False)
             )
             kuc = (
                 both.join(
@@ -560,6 +577,7 @@ def louvain_refine(
                 )
                 .groupBy("u", "vc")
                 .agg(F.count(F.lit(1)).cast("long").alias("k"))
+                .localCheckpoint(eager=False)
             )
             cur = (
                 a.select(F.col("n").alias("u"), F.col("c").alias("cu"))
@@ -586,12 +604,11 @@ def louvain_refine(
                 .join(kuc, "u")
                 .where(F.col("vc") != F.col("cu"))
                 .join(tot.select(F.col("c").alias("vc"), "tot"), "vc")
-                .crossJoin(F.broadcast(m_df))
                 .select(
                     "u",
                     "vc",
                     F.expr(
-                        "2*m*(k - k_own) - ku*(tot - (tot_cu - ku))"
+                        f"2*{m_val}L*(k - k_own) - ku*(tot - (tot_cu - ku))"
                     ).alias("gain"),
                 )
             )
