@@ -96,7 +96,14 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, Da
     (map-side-combine) friendly, one shuffle each.
     """
     words = docs.select(F.explode(_words(text_col)).alias("w"))
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # vocabulary-sized table, materialized once: it feeds the
+    # vocab_size count action AND the scoring join — without the
+    # checkpoint the words-explode aggregation runs twice (round 7)
+    uni = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
     toks = _words(text_col)
     pairs = _adjacent_pairs(toks)
     bi = (
